@@ -41,7 +41,8 @@ class TrainState:
     def create(cls, params, tx: optax.GradientTransformation, rng: jax.Array) -> "TrainState":
         return cls(
             params=params,
-            ema_params=jax.tree_util.tree_map(lambda p: p, params),
+            # real copies: EMA must not alias params (breaks buffer donation)
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
             opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32),
             rng=rng,
