@@ -1,0 +1,138 @@
+"""DiT1d — adaLN-Zero diffusion transformer (flax.linen).
+
+TPU-native re-implementation of reference
+cleandiffuser/nn_diffusion/dit.py:14-180 (DiTBlock, FinalLayer1d, DiT1d,
+DiT1Ref). Zero-initialized adaLN modulation and final layer match the
+reference init (dit.py:95-104). Positional embedding is computed from the
+static horizon at trace time (no host-side cache needed — XLA constant-folds
+it).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..utils.blocks import xavier_uniform_init
+from ..utils.embeddings import mish, sinusoidal_features
+from .base import BaseNNDiffusion, timestep_embedding_module
+
+__all__ = ["DiT1d", "DiT1Ref", "DiTBlock", "FinalLayer1d"]
+
+zeros_init = nn.initializers.zeros
+normal02 = nn.initializers.normal(stddev=0.02)
+
+
+def modulate(x, shift, scale):
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero transformer block (reference dit.py:14-36)."""
+
+    hidden_size: int
+    n_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, t, train: bool = False):
+        mod = nn.Dense(self.hidden_size * 6, kernel_init=zeros_init, bias_init=zeros_init)(
+            nn.silu(t)
+        )
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+
+        h = modulate(nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x), shift_msa, scale_msa)
+        attn_out = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            qkv_features=self.hidden_size,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            kernel_init=xavier_uniform_init,
+        )(h, h)
+        x = h + gate_msa[:, None, :] * attn_out
+
+        h2 = modulate(nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x), shift_mlp, scale_mlp)
+        h2 = nn.Dense(self.hidden_size * 4, kernel_init=xavier_uniform_init)(h2)
+        h2 = nn.gelu(h2, approximate=True)
+        h2 = nn.Dropout(self.dropout, deterministic=not train)(h2)
+        h2 = nn.Dense(self.hidden_size, kernel_init=xavier_uniform_init)(h2)
+        x = x + gate_mlp[:, None, :] * h2
+        return x
+
+
+class FinalLayer1d(nn.Module):
+    """Zero-init adaLN final projection (reference dit.py:39-50)."""
+
+    hidden_size: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, t):
+        mod = nn.Dense(self.hidden_size * 2, kernel_init=zeros_init, bias_init=zeros_init)(
+            nn.silu(t)
+        )
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = modulate(nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x), shift, scale)
+        return nn.Dense(self.out_dim, kernel_init=zeros_init, bias_init=zeros_init)(x)
+
+
+class _DiTCore(BaseNNDiffusion):
+    in_dim: int = 0
+    emb_dim: int = 0
+    d_model: int = 384
+    n_heads: int = 6
+    depth: int = 12
+    dropout: float = 0.0
+    timestep_emb_type: str = "positional"
+    timestep_emb_params: Optional[dict] = None
+
+    def map_t(self, t, emb):
+        te = timestep_embedding_module(self.emb_dim, self.timestep_emb_type, self.timestep_emb_params)(t)
+        if emb is not None:
+            te = te + emb
+        te = nn.Dense(self.d_model, kernel_init=normal02)(te)
+        te = mish(te)
+        te = nn.Dense(self.d_model, kernel_init=normal02)(te)
+        return mish(te)
+
+
+class DiT1d(_DiTCore):
+    """(b, H, in_dim) -> (b, H, in_dim) (reference dit.py:53-132)."""
+
+    @nn.compact
+    def __call__(self, x, t, emb=None, train: bool = False):
+        pos = sinusoidal_features(jnp.arange(x.shape[1]), self.d_model)
+        x = nn.Dense(self.d_model, kernel_init=xavier_uniform_init)(x) + pos[None]
+        te = self.map_t(t, emb)
+        for _ in range(self.depth):
+            x = DiTBlock(self.d_model, self.n_heads, self.dropout)(x, te, train=train)
+        return FinalLayer1d(self.d_model, self.in_dim)(x, te)
+
+
+class DiT1Ref(_DiTCore):
+    """DiT with per-block cross-attention to a reference trajectory that is
+    channel-split from x (reference dit.py:135-180). Input (b, H, 2*in_dim),
+    output (b, H, 2*in_dim) with the reference half passed through."""
+
+    @nn.compact
+    def __call__(self, x, t, emb=None, train: bool = False):
+        pos = sinusoidal_features(jnp.arange(x.shape[1]), self.d_model)
+        x_ref, x_main = jnp.split(x, 2, axis=-1)
+        x_ref_bkp = x_ref
+
+        proj = nn.Dense(self.d_model, kernel_init=xavier_uniform_init, name="x_proj")
+        x_ref = proj(x_ref) + pos[None]
+        h = proj(x_main) + pos[None]
+        te = self.map_t(t, emb)
+
+        for _ in range(self.depth):
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.n_heads,
+                qkv_features=self.d_model,
+                kernel_init=xavier_uniform_init,
+            )(h, x_ref)
+            h = DiTBlock(self.d_model, self.n_heads, self.dropout)(h, te, train=train)
+        out = FinalLayer1d(self.d_model, self.in_dim)(h, te)
+        return jnp.concatenate([x_ref_bkp, out], axis=-1)
