@@ -1,0 +1,20 @@
+from .base import BaseDataset, DeviceSeqSampler, DeviceTDSampler
+from .d4rl_antmaze import (
+    D4RLAntmazeDataset,
+    D4RLAntmazeTDDataset,
+    DV_D4RLAntmazeSeqDataset,
+    MultiHorizonD4RLAntmazeDataset,
+)
+from .d4rl_kitchen import (
+    D4RLKitchenDataset,
+    D4RLKitchenTDDataset,
+    DV_D4RLKitchenSeqDataset,
+    MultiHorizonD4RLKitchenDataset,
+)
+from .d4rl_mujoco import (
+    D4RLMuJoCoDataset,
+    D4RLMuJoCoTDDataset,
+    DV_D4RLMuJoCoSeqDataset,
+    MultiHorizonD4RLMuJoCoDataset,
+)
+from .fake import FAKE_ENV_SPECS, fake_d4rl_dataset, fake_d4rl_qlearning_dataset

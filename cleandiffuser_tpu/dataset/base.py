@@ -1,0 +1,125 @@
+"""Dataset base + device-resident batch sampler.
+
+TPU-native re-design of reference cleandiffuser/dataset/base_dataset.py:24-40.
+Two access paths:
+
+1. `__getitem__` / `__len__` — numpy dict batches, drop-in for a
+   torch-style DataLoader (API parity with the reference).
+2. `sample_batch(rng, batch_size)` — the TPU-native hot path. The full
+   (normalized) dataset lives in device HBM as dense arrays; a batch is a
+   jitted gather (random index draw + vmap'd dynamic_slice) that never
+   touches the host. This replaces the reference's fork-based DataLoader
+   workers + H2D copy per step (SURVEY.md §3.1 'device boundary').
+
+Terminology (reference base_dataset.py:9-21): To = observation horizon,
+Ta = action horizon, T = prediction horizon.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BaseDataset", "DeviceSeqSampler", "DeviceTDSampler"]
+
+
+class BaseDataset:
+    """Dict-batch contract: {"obs": {"state": ...}, "act": ..., ...}."""
+
+    normalizers: Dict = {}
+
+    def get_normalizer(self):
+        raise NotImplementedError
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int):
+        raise NotImplementedError
+
+    def sample_batch(self, rng: jax.Array, batch_size: int):
+        raise NotImplementedError
+
+
+class DeviceSeqSampler:
+    """Device-resident (paths, time, dim) store with windowed gather.
+
+    arrays: dict name -> (n_paths, max_len, d) numpy array.
+    indices: (N, 2) [path_idx, start].
+    horizon/stride: window spec; per-name horizon overrides via scalars
+    (e.g. "val" gathers a single timestep).
+    """
+
+    def __init__(
+        self,
+        arrays: Dict[str, np.ndarray],
+        indices: np.ndarray,
+        horizon: int,
+        stride: int = 1,
+        scalars: Optional[Dict[str, np.ndarray]] = None,
+    ):
+        self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        self.scalars = {k: jnp.asarray(v) for k, v in (scalars or {}).items()}
+        self.indices = jnp.asarray(np.asarray(indices, np.int32))
+        self.horizon, self.stride = horizon, stride
+        self._jit_cache = {}
+
+    def _build(self, batch_size: int):
+        H, S = self.horizon, self.stride
+        arrays, scalars, indices = self.arrays, self.scalars, self.indices
+        N = indices.shape[0]
+
+        def sample(rng):
+            k = jax.random.randint(rng, (batch_size,), 0, N)
+            path = indices[k, 0]
+            start = indices[k, 1]
+
+            def gather_one(name):
+                arr = arrays[name]
+
+                def slice_one(p, s):
+                    full = jax.lax.dynamic_slice(
+                        arr, (p, s, 0), (1, (H - 1) * S + 1, arr.shape[-1])
+                    )[0]
+                    return full[::S] if S > 1 else full
+
+                return jax.vmap(slice_one)(path, start)
+
+            out = {name: gather_one(name) for name in arrays}
+            for name, arr in scalars.items():
+                # scalar-per-window: value at the window start
+                out[name] = jax.vmap(lambda p, s: arr[p, s])(path, start)
+            return out
+
+        return jax.jit(sample)
+
+    def sample(self, rng: jax.Array, batch_size: int):
+        if batch_size not in self._jit_cache:
+            self._jit_cache[batch_size] = self._build(batch_size)
+        return self._jit_cache[batch_size](rng)
+
+
+class DeviceTDSampler:
+    """Device-resident flat transition store with random gather."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray]):
+        self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        self.size = next(iter(arrays.values())).shape[0]
+        self._jit_cache = {}
+
+    def _build(self, batch_size: int):
+        arrays, size = self.arrays, self.size
+
+        def sample(rng):
+            k = jax.random.randint(rng, (batch_size,), 0, size)
+            return {name: jnp.take(arr, k, axis=0) for name, arr in arrays.items()}
+
+        return jax.jit(sample)
+
+    def sample(self, rng: jax.Array, batch_size: int):
+        if batch_size not in self._jit_cache:
+            self._jit_cache[batch_size] = self._build(batch_size)
+        return self._jit_cache[batch_size](rng)
