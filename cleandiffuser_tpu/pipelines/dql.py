@@ -1,0 +1,271 @@
+"""Diffusion-QL pipeline (TPU-native).
+
+Re-design of reference pipelines/dql_d4rl_mujoco.py:22-225. Differences by
+design:
+
+- ONE jitted train step fuses: critic TD update (with EMA-actor next-action
+  sampling), the policy update with backprop THROUGH the 5-step diffusion
+  sampling scan (reference dql:98-113 — the most memory-hungry path in the
+  library), cosine LR schedules, interval-gated actor EMA and critic Polyak
+  updates. The reference runs ~10 separate torch graphs per step and an
+  explicit Python EMA loop; here it is a single XLA program with donated
+  state.
+- Data is a device-resident TD dataset; each step's batch is an on-device
+  gather, no host round-trip.
+- Eval action selection (candidate sampling + softmax(Q)-reweighted
+  resampling, reference dql:180-200) is a single jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion import DiscreteDiffusionSDE
+from ..nn_condition import IdentityCondition
+from ..nn_diffusion import DQLMlp
+from ..utils.blocks import DQLCritic
+from ..utils.train_state import TrainState, ema_update
+
+__all__ = ["DQLPipeline", "CriticState"]
+
+
+@flax.struct.dataclass
+class CriticState:
+    params: Any
+    target_params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class DQLPipeline:
+    def __init__(
+        self,
+        obs_dim: int,
+        act_dim: int,
+        diffusion_steps: int = 5,
+        sampling_steps: int = 5,
+        solver: str = "ddpm",
+        emb_dim: int = 64,
+        hidden_dim: int = 256,
+        actor_lr: float = 3e-4,
+        critic_lr: float = 3e-4,
+        gradient_steps: int = 2_000_000,
+        discount: float = 0.99,
+        eta: float = 1.0,
+        ema_rate: float = 0.995,
+        ema_update_interval: int = 5,
+        predict_noise: bool = True,
+        rng: int = 0,
+    ):
+        self.obs_dim, self.act_dim = obs_dim, act_dim
+        self.discount, self.eta = discount, eta
+        self.ema_update_interval = ema_update_interval
+        self.sampling_steps, self.solver = sampling_steps, solver
+
+        self.actor = DiscreteDiffusionSDE(
+            DQLMlp(obs_dim=obs_dim, act_dim=act_dim, emb_dim=emb_dim),
+            IdentityCondition(dropout=0.0),
+            predict_noise=predict_noise,
+            optim_params={
+                "lr": optax.cosine_decay_schedule(actor_lr, gradient_steps),
+                "weight_decay": 0.0,
+            },
+            x_max=jnp.ones((act_dim,)),
+            x_min=-jnp.ones((act_dim,)),
+            diffusion_steps=diffusion_steps,
+            ema_rate=ema_rate,
+            rng=rng,
+        )
+        self.critic = DQLCritic(hidden_dim=hidden_dim)
+        self.critic_tx = optax.adam(optax.cosine_decay_schedule(critic_lr, gradient_steps))
+
+        key = jax.random.PRNGKey(rng + 1)
+        k1, self._rng = jax.random.split(key)
+        obs_ex = jnp.zeros((1, obs_dim))
+        act_ex = jnp.zeros((1, act_dim))
+        critic_params = self.critic.init(k1, obs_ex, act_ex)
+        self.critic_state = CriticState(
+            params=critic_params,
+            target_params=jax.tree_util.tree_map(jnp.copy, critic_params),
+            opt_state=self.critic_tx.init(critic_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.actor.init(act_ex, obs_ex)
+
+        self._sample_fn = self.actor.build_sample_fn(
+            solver=solver,
+            sample_steps=sampling_steps,
+            cfg_mode="cond",
+            final_logp=False,
+        )
+        self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0, 1))
+        self._act_fn_cache = {}
+
+    # ------------------------------------------------------------------
+    def _make_train_step(self):
+        actor, critic = self.actor, self.critic
+        sample_fn = self._sample_fn
+        discount, eta = self.discount, self.eta
+        interval = self.ema_update_interval
+
+        def train_step(actor_state: TrainState, critic_state: CriticState, batch):
+            obs, next_obs = batch["obs"]["state"], batch["next_obs"]["state"]
+            act, rew, tml = batch["act"], batch["rew"], batch["tml"]
+            b = obs.shape[0]
+            prior = jnp.zeros((b, actor.nn_diffusion.act_dim))
+
+            rng, k_next, k_bc, k_new, k_coin = jax.random.split(actor_state.rng, 5)
+
+            # ---- critic TD update (next action from EMA actor, no grad) ----
+            next_act, _ = sample_fn(
+                actor_state.ema_params, None, k_next, prior,
+                condition_cfg=next_obs, w_cfg=1.0,
+            )
+            next_act = jax.lax.stop_gradient(next_act)
+            q1_t, q2_t = critic.apply(critic_state.target_params, next_obs, next_act)
+            target_q = rew + (1.0 - tml) * discount * jnp.minimum(q1_t, q2_t)
+            target_q = jax.lax.stop_gradient(target_q)
+
+            def critic_loss_fn(params):
+                q1, q2 = critic.apply(params, obs, act)
+                return ((q1 - target_q) ** 2).mean() + ((q2 - target_q) ** 2).mean()
+
+            critic_loss, c_grads = jax.value_and_grad(critic_loss_fn)(critic_state.params)
+            c_updates, c_opt_state = self.critic_tx.update(
+                c_grads, critic_state.opt_state, critic_state.params
+            )
+            c_params = optax.apply_updates(critic_state.params, c_updates)
+
+            # ---- policy update: BC + Q through the sampling scan ----
+            coin = jax.random.uniform(k_coin) > 0.5
+
+            def actor_loss_fn(params):
+                bc_loss = actor.loss_fn(params, k_bc, act, obs)
+                new_act, _ = sample_fn(
+                    params, None, k_new, prior, condition_cfg=obs, w_cfg=1.0
+                )
+                q1_new, q2_new = critic.apply(
+                    jax.lax.stop_gradient(c_params), obs, new_act
+                )
+                q_loss = jnp.where(
+                    coin,
+                    -q1_new.mean() / jax.lax.stop_gradient(jnp.abs(q2_new).mean()),
+                    -q2_new.mean() / jax.lax.stop_gradient(jnp.abs(q1_new).mean()),
+                )
+                return bc_loss + eta * q_loss, (bc_loss, q_loss)
+
+            (actor_loss, (bc_loss, q_loss)), a_grads = jax.value_and_grad(
+                actor_loss_fn, has_aux=True
+            )(actor_state.params)
+            a_updates, a_opt_state = actor.tx.update(
+                a_grads, actor_state.opt_state, actor_state.params
+            )
+            a_params = optax.apply_updates(actor_state.params, a_updates)
+
+            # ---- interval-gated EMA (actor after warmup) + Polyak (critic) ----
+            step = actor_state.step
+            do_ema = (step % interval == 0) & (step >= 1000)
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: jnp.where(do_ema, e * actor.ema_rate + p * (1 - actor.ema_rate), e),
+                actor_state.ema_params,
+                a_params,
+            )
+            do_polyak = step % interval == 0
+            target_params = jax.tree_util.tree_map(
+                lambda t, p: jnp.where(do_polyak, 0.995 * p + 0.005 * t, t),
+                critic_state.target_params,
+                c_params,
+            )
+
+            new_actor_state = actor_state.replace(
+                params=a_params, ema_params=ema_params, opt_state=a_opt_state,
+                step=step + 1, rng=rng,
+            )
+            new_critic_state = CriticState(
+                params=c_params, target_params=target_params,
+                opt_state=c_opt_state, step=critic_state.step + 1,
+            )
+            log = {
+                "bc_loss": bc_loss,
+                "q_loss": q_loss,
+                "critic_loss": critic_loss,
+                "target_q_mean": target_q.mean(),
+            }
+            return new_actor_state, new_critic_state, log
+
+        return train_step
+
+    def train_step(self, batch):
+        self.actor.state, self.critic_state, log = self._train_step(
+            self.actor.state, self.critic_state, batch
+        )
+        return log
+
+    # ------------------------------------------------------------------
+    def _make_act_fn(self, num_envs: int, num_candidates: int, weight_temperature: float,
+                     use_ema: bool, temperature: float):
+        actor, critic = self.actor, self.critic
+        sample_fn = self._sample_fn
+        E, K = num_envs, num_candidates
+
+        def act_fn(actor_params, critic_target_params, rng, obs):
+            # obs: (E, o_dim) normalized
+            k_sample, k_choice = jax.random.split(rng)
+            obs_rep = jnp.repeat(obs[:, None, :], K, axis=1).reshape(E * K, -1)
+            prior = jnp.zeros((E * K, actor.nn_diffusion.act_dim))
+            act, _ = sample_fn(
+                actor_params, None, k_sample, prior,
+                condition_cfg=obs_rep, w_cfg=1.0, temperature=temperature,
+            )
+            q = critic.apply(critic_target_params, obs_rep, act, method=DQLCritic.q_min)
+            q = q.reshape(E, K)
+            logits = q * weight_temperature
+            idx = jax.random.categorical(k_choice, logits, axis=-1)
+            act = act.reshape(E, K, -1)
+            return jnp.take_along_axis(act, idx[:, None, None], axis=1)[:, 0]
+
+        return jax.jit(act_fn)
+
+    def act(self, obs_normed, num_candidates: int = 50, weight_temperature: float = 10.0,
+            use_ema: bool = True, temperature: float = 1.0,
+            rng: Optional[jax.Array] = None):
+        """obs_normed: (num_envs, obs_dim) normalized observations -> actions."""
+        E = obs_normed.shape[0]
+        key = (E, num_candidates, weight_temperature, use_ema, temperature)
+        if key not in self._act_fn_cache:
+            self._act_fn_cache[key] = self._make_act_fn(
+                E, num_candidates, weight_temperature, use_ema, temperature
+            )
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
+        params = self.actor.state.ema_params if use_ema else self.actor.state.params
+        return self._act_fn_cache[key](
+            params, self.critic_state.target_params, rng, jnp.asarray(obs_normed)
+        )
+
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        import pickle
+        from pathlib import Path
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        state = {
+            "actor": jax.tree_util.tree_map(np.asarray, self.actor.state),
+            "critic": jax.tree_util.tree_map(np.asarray, self.critic_state),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.actor.state = jax.tree_util.tree_map(jnp.asarray, state["actor"])
+        self.critic_state = jax.tree_util.tree_map(jnp.asarray, state["critic"])
