@@ -1,0 +1,157 @@
+"""Benchmark: DQL action-sampling throughput on one TPU chip.
+
+Measures the BASELINE.json config #1 hot path — DQLMlp denoiser, 5-step DDPM
+sampling at the reference's eval scale (50 envs x 50 candidates = 2500
+actions per call; configs/dql/mujoco/mujoco.yaml) — and prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+`vs_baseline` compares the fused lax.scan sampler (one XLA program for the
+whole k-step denoise loop) against a reference-style per-step dispatch
+implementation (one jitted program per NFE, Python loop on the host —
+faithful to the reference's torch eager loop, diffusionsde.py:525-594) run
+on the SAME chip. The reference repo publishes no timing numbers
+(BASELINE.md), so same-hardware dispatch-style speedup is the honest
+measurable ratio; absolute throughput is recorded for cross-hardware
+comparison against A100 PyTorch later.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cleandiffuser_tpu.diffusion import DiscreteDiffusionSDE
+from cleandiffuser_tpu.nn_condition import IdentityCondition
+from cleandiffuser_tpu.nn_diffusion import DQLMlp
+
+OBS_DIM, ACT_DIM = 17, 6  # halfcheetah
+BATCH = 50 * 50  # num_envs * num_candidates (reference eval scale)
+SAMPLE_STEPS = 5
+N_WARMUP, N_ITERS = 3, 20
+
+
+def build_engine():
+    return DiscreteDiffusionSDE(
+        DQLMlp(obs_dim=OBS_DIM, act_dim=ACT_DIM, emb_dim=64),
+        IdentityCondition(dropout=0.0),
+        x_max=jnp.ones((ACT_DIM,)),
+        x_min=-jnp.ones((ACT_DIM,)),
+        diffusion_steps=SAMPLE_STEPS,
+        rng=0,
+    )
+
+
+def time_fn(fn, *args, n_warmup=N_WARMUP, n_iters=N_ITERS):
+    """Time fn with a host fetch of a scalar to force completion.
+
+    The TPU here is reached through a tunnel with ~30ms round-trip, so fn
+    should amortize many sampler calls internally; we subtract a measured
+    empty round-trip floor.
+    """
+    for _ in range(n_warmup):
+        float(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        float(fn(*args))
+    return (time.perf_counter() - t0) / n_iters
+
+
+def round_trip_floor():
+    f = jax.jit(lambda x: x.sum())
+    x = jnp.zeros((8, 128))
+    float(f(x))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(f(x))
+    return (time.perf_counter() - t0) / 10
+
+
+def main():
+    engine = build_engine()
+    prior = jnp.zeros((BATCH, ACT_DIM))
+    obs = jnp.asarray(np.random.randn(BATCH, OBS_DIM).astype(np.float32))
+    engine.init(prior, obs)
+    rng = jax.random.PRNGKey(0)
+
+    REPEAT = 100
+
+    # ---- fused scan sampler (ours): REPEAT chained calls in ONE program ----
+    sample_fn = engine.build_sample_fn(
+        solver="ddpm", sample_steps=SAMPLE_STEPS, cfg_mode="cond", final_logp=False
+    )
+
+    @jax.jit
+    def run_fused_many(params, r):
+        def body(carry, _):
+            r, acc = carry
+            r, k = jax.random.split(r)
+            x, _ = sample_fn(params, None, k, prior, condition_cfg=obs, w_cfg=1.0)
+            return (r, acc + x.sum()), None
+
+        (_, acc), _ = jax.lax.scan(body, (r, 0.0), None, length=REPEAT)
+        return acc
+
+    floor = round_trip_floor()
+    t_fused = (time_fn(run_fused_many, engine.state.ema_params, rng) - floor) / REPEAT
+
+    # ---- reference-style per-step dispatch (baseline proxy) ----
+    # one jitted program per denoise step, Python loop on host
+    alphas = engine.alpha
+    sigmas = engine.sigma
+    sched = jnp.linspace(0, SAMPLE_STEPS - 1, SAMPLE_STEPS + 1).astype(jnp.int32)
+    a_t, s_t = alphas[sched], sigmas[sched]
+    stds = jnp.concatenate(
+        [jnp.zeros((1,)), s_t[:-1] / s_t[1:] * jnp.sqrt(1 - (a_t[1:] / a_t[:-1]) ** 2)]
+    )
+
+    @jax.jit
+    def one_step(params, xt, i, r):
+        t = jnp.full((BATCH,), sched[i], dtype=jnp.int32)
+        eps = engine.apply_diffusion(params, xt, t, obs)
+        x = (a_t[i - 1] / a_t[i]) * (xt - s_t[i] * eps) + jnp.sqrt(
+            jnp.maximum(s_t[i - 1] ** 2 - stds[i] ** 2, 0.0) + 1e-8
+        ) * eps
+        noise = jax.random.normal(r, xt.shape)
+        return x + jnp.where(i > 1, stds[i], 0.0) * noise
+
+    def run_dispatch_many(r):
+        acc = jnp.zeros(())
+        for _ in range(REPEAT):
+            r, k0 = jax.random.split(r)
+            xt = jax.random.normal(k0, prior.shape)
+            for i in range(SAMPLE_STEPS, 0, -1):
+                r, k = jax.random.split(r)
+                xt = one_step(engine.state.ema_params, xt, jnp.asarray(i), k)
+            acc = acc + xt.sum()
+        return acc
+
+    t_dispatch = (time_fn(run_dispatch_many, rng, n_warmup=1, n_iters=3) - floor) / REPEAT
+
+    actions_per_sec = BATCH / t_fused
+    denoise_steps_per_sec = BATCH * SAMPLE_STEPS / t_fused
+    vs_baseline = t_dispatch / t_fused
+
+    print(
+        json.dumps(
+            {
+                "metric": "dql_sampled_actions_per_sec_per_chip",
+                "value": round(actions_per_sec, 1),
+                "unit": "actions/s",
+                "vs_baseline": round(vs_baseline, 3),
+                "detail": {
+                    "denoise_steps_per_sec": round(denoise_steps_per_sec, 1),
+                    "batch": BATCH,
+                    "sample_steps": SAMPLE_STEPS,
+                    "fused_ms": round(t_fused * 1e3, 3),
+                    "per_step_dispatch_ms": round(t_dispatch * 1e3, 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
