@@ -56,7 +56,8 @@ class BaseClassifier:
             {"params": k1, "dropout": k1},
             jnp.asarray(x_example),
             jnp.asarray(t_example),
-            jnp.asarray(y_example) if y_example is not None else None,
+            # y may be an array or a pytree (e.g. QGPO's dict label)
+            jax.tree_util.tree_map(jnp.asarray, y_example) if y_example is not None else None,
         )
         self.state = TrainState.create(params, self.tx, k2)
         return self.state
@@ -122,15 +123,18 @@ class BaseClassifier:
         return jax.jit(update_fn, donate_argnums=0)
 
     def update(self, x, noise, y, update_ema: bool = True) -> Dict[str, Any]:
-        self._ensure_init(x, noise, self._y_example(y))
+        xe, te, ye = self._init_example(x, noise, y)
+        self._ensure_init(xe, te, ye)
         key = ("update", update_ema)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._make_update_fn(update_ema)
         self.state, log = self._fn_cache[key](self.state, x, noise, y)
         return {k: float(v) for k, v in log.items()}
 
-    def _y_example(self, y):
-        return y
+    def _init_example(self, x, t, y):
+        """(x, t, y) used for lazy init; subclasses with structured labels
+        override to produce nn-compatible example inputs."""
+        return x, t, y
 
     # ------------------------------------------------------------------
     def save(self, path: str):
@@ -181,6 +185,10 @@ class QGPOClassifier(BaseClassifier):
     update() expects x: (b, K, act_dim), t: (b,),
     y = {"soft_label": (b, K, 1), "obs": (b, obs_dim)}.
     """
+
+    def _init_example(self, x, t, y):
+        # the energy net consumes (act, t, obs) flat rows
+        return x[:, 0, :], t, y["obs"]
 
     def loss(self, params, rng, x, t, y):
         b, k = x.shape[:2]
