@@ -18,3 +18,11 @@ from .d4rl_mujoco import (
     MultiHorizonD4RLMuJoCoDataset,
 )
 from .fake import FAKE_ENV_SPECS, fake_d4rl_dataset, fake_d4rl_qlearning_dataset
+from .dataset_utils import RotationTransformer, SequenceSampler, create_indices
+from .pusht import (
+    PushTImageDataset,
+    PushTKeypointDataset,
+    PushTStateDataset,
+    generate_pusht_demos,
+)
+from .replay_buffer import ReplayBuffer

@@ -1,0 +1,94 @@
+"""Smoke tests for DiffuserLite, AdaptDiffuser, and Veteran pipelines."""
+
+import jax
+import numpy as np
+import pytest
+
+from cleandiffuser_tpu.dataset import (
+    D4RLMuJoCoDataset,
+    D4RLMuJoCoTDDataset,
+    DV_D4RLMuJoCoSeqDataset,
+    MultiHorizonD4RLMuJoCoDataset,
+    fake_d4rl_dataset,
+    fake_d4rl_qlearning_dataset,
+)
+from cleandiffuser_tpu.pipelines.adaptdiffuser import AdaptDiffuserPipeline
+from cleandiffuser_tpu.pipelines.diffuserlite import (
+    DiffuserLitePipeline,
+    compute_temporal_horizons,
+)
+from cleandiffuser_tpu.pipelines.veteran import VeteranPipeline
+
+
+def test_temporal_horizons():
+    # reference values: [5,5,9] -> [129, 33, 9]
+    assert compute_temporal_horizons([5, 5, 9]) == [129, 33, 9]
+
+
+def test_diffuserlite():
+    raw = fake_d4rl_dataset(n_steps=3000, ep_len=200)
+    ths = compute_temporal_horizons([3, 3, 5])
+    ds = MultiHorizonD4RLMuJoCoDataset(raw, horizons=ths, max_path_length=200)
+    pipe = DiffuserLitePipeline(
+        obs_dim=ds.o_dim, act_dim=ds.a_dim, planning_horizons=(3, 3, 5),
+        emb_dim=32, d_model=64, n_heads=4, depth=1,
+        diffusion_gradient_steps=100, return_scale=100.0,
+    )
+    rng = jax.random.PRNGKey(0)
+    batches = [ds.sample_batch(rng, 8, horizon_idx=i) for i in range(3)]
+    log = pipe.train_step(batches)
+    assert all(np.isfinite(v) for v in log.values())
+    # reflow pairs + reflow step
+    pairs = pipe.prepare_reflow_pairs(batches, sampling_steps=2)
+    assert pairs[0]["x0"].shape == (8, 3, ds.o_dim)
+    log = pipe.reflow_step(pairs)
+    assert all(np.isfinite(v) for v in log.values())
+    # hierarchical planning (R1: 3 steps; R2: 1 step)
+    obs = np.random.randn(2, ds.o_dim).astype(np.float32)
+    for steps in (3, 1):
+        act, info = pipe.act(obs, sample_steps=steps)
+        assert act.shape == (2, ds.a_dim)
+        assert np.all(np.isfinite(np.asarray(act)))
+
+
+def test_adaptdiffuser():
+    raw = fake_d4rl_dataset(n_steps=1500, ep_len=150)
+    ds = D4RLMuJoCoDataset(raw, horizon=8, max_path_length=150)
+    pipe = AdaptDiffuserPipeline(
+        obs_dim=ds.o_dim, act_dim=ds.a_dim, horizon=8, model_dim=16,
+        diffusion_steps=8, sampling_steps=4,
+        diffusion_gradient_steps=100, classifier_gradient_steps=100,
+    )
+    rng = jax.random.PRNGKey(0)
+    pipe.train_step(ds.sample_batch(rng, 8))
+    start_obs = np.random.randn(8, ds.o_dim).astype(np.float32)
+    traj, logp = pipe.generate_and_filter(start_obs, metric_value=-1e9)
+    assert traj.shape[1:] == (8, ds.o_dim + ds.a_dim)
+    assert traj.shape[0] == 8  # threshold -inf keeps all
+    log = pipe.finetune_step(traj)
+    assert np.isfinite(log["loss"])
+
+
+@pytest.mark.parametrize("guidance", ["MCSS", "cfg", "cg"])
+def test_veteran(guidance):
+    raw = fake_d4rl_dataset(n_steps=1500, ep_len=150)
+    ds = DV_D4RLMuJoCoSeqDataset(raw, horizon=8, max_path_length=150)
+    td = D4RLMuJoCoTDDataset(fake_d4rl_qlearning_dataset(n_steps=800, ep_len=150))
+    pipe = VeteranPipeline(
+        obs_dim=ds.o_dim, act_dim=ds.a_dim, planner_horizon=8,
+        guidance_type=guidance, planner_net="transformer" if guidance != "cg" else "unet",
+        planner_emb_dim=32, planner_d_model=64, unet_dim=16,
+        gradient_steps=100, planner_sampling_steps=3, policy_sampling_steps=2,
+        use_weighted_regression=(guidance == "MCSS"),
+    )
+    rng = jax.random.PRNGKey(0)
+    planner_batch = ds.sample_batch(rng, 8)
+    policy_batch = ds.sample_batch(jax.random.PRNGKey(1), 8)
+    log = pipe.train_step(planner_batch, policy_batch)
+    assert all(np.isfinite(v) for v in log.values()), log
+    log = pipe.train_expected_value_step(td.sample_batch(jax.random.PRNGKey(2), 32))
+    assert np.isfinite(log["loss_v"])
+    obs = np.random.randn(2, ds.o_dim).astype(np.float32)
+    act, traj = pipe.act(obs, num_candidates=4)
+    assert act.shape == (2, ds.a_dim)
+    assert np.all(np.isfinite(np.asarray(act)))
