@@ -8,3 +8,12 @@ from .base import (
     PearceObsCondition,
     PositionalCondition,
 )
+from .images import (
+    EarlyConvViTMultiViewImageCondition,
+    MultiImageObsCondition,
+    ResNet18,
+    ResNet18ImageCondition,
+    ResNet18MultiViewImageCondition,
+    SmallStem,
+    SpatialSoftmax,
+)

@@ -1,0 +1,355 @@
+"""Image condition encoders (flax.linen, NHWC compute layout).
+
+TPU-native re-implementation of:
+  - ResNet18ImageCondition / ResNet18MultiViewImageCondition
+    (reference cleandiffuser/nn_condition/resnets.py:27-295: from-scratch
+    ResNet18 with GroupNorm and SpatialSoftmax keypoint pooling),
+  - SmallStem + EarlyConvViTMultiViewImageCondition
+    (reference cleandiffuser/nn_condition/early_conv_vit.py:11-199:
+    Octo-style early-CNN ViT with learnable readout token),
+  - MultiImageObsCondition (reference nn_condition/multi_image_condition.py:
+    shape_meta-driven dict encoder; the reference wraps torchvision
+    ResNet18 — unavailable here — so the same from-scratch GN-ResNet18
+    backbone is used) with CropRandomizer-style random/center cropping
+    (reference cleandiffuser/utils/crop_randomizer.py).
+
+Inputs follow the reference's channels-first convention (b, ..., C, H, W)
+and are transposed to NHWC internally (the layout XLA prefers on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.blocks import Transformer
+from ..utils.embeddings import sinusoidal_features
+from ..utils.tensors import at_least_ndim
+from .base import BaseNNCondition
+
+__all__ = [
+    "ResNet18",
+    "SpatialSoftmax",
+    "ResNet18ImageCondition",
+    "ResNet18MultiViewImageCondition",
+    "SmallStem",
+    "EarlyConvViTMultiViewImageCondition",
+    "MultiImageObsCondition",
+    "random_crop",
+]
+
+
+def _gn(channels: int, group_channels: int = 16):
+    return nn.GroupNorm(num_groups=max(channels // group_channels, 1))
+
+
+class _ResBlock2d(nn.Module):
+    out_channel: int
+    downsample: bool = False
+    group_channels: int = 16
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        stride = 2 if self.downsample else 1
+        h = nn.Conv(self.out_channel, (3, 3), strides=(stride, stride),
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
+        h = _gn(self.out_channel, self.group_channels)(h)
+        h = self.activation(h)
+        h = nn.Conv(self.out_channel, (3, 3), padding=((1, 1), (1, 1)), use_bias=False)(h)
+        h = _gn(self.out_channel, self.group_channels)(h)
+        if self.downsample:
+            skip = nn.Conv(self.out_channel, (1, 1), strides=(stride, stride),
+                           use_bias=False)(x)
+            skip = _gn(self.out_channel, self.group_channels)(skip)
+        else:
+            skip = x
+        return h + skip
+
+
+class SpatialSoftmax(nn.Module):
+    """Per-channel soft-argmax keypoints (reference resnets.py:52-84)."""
+
+    normalise: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, C)
+        b, h, w, c = x.shape
+        temperature = self.param("temperature", nn.initializers.ones, (1,))
+        logits = x.reshape(b, h * w, c) / temperature
+        smax = jax.nn.softmax(logits, axis=1).reshape(b, h, w, c)
+        xr = jnp.linspace(-1.0, 1.0, w) if self.normalise else jnp.arange(w, dtype=jnp.float32)
+        yr = jnp.linspace(-1.0, 1.0, h) if self.normalise else jnp.arange(h, dtype=jnp.float32)
+        ex = (smax.sum(1) * xr[None, :, None]).sum(1)  # (B, C)
+        ey = (smax.sum(2) * yr[None, :, None]).sum(1)  # (B, C)
+        return jnp.stack([ex, ey], axis=-1)  # (B, C, 2)
+
+
+class ResNet18(nn.Module):
+    """From-scratch GN-ResNet18 with SpatialSoftmax head
+    (reference resnets.py:87-150). Input (B, C, H, W)."""
+
+    image_sz: int
+    in_channel: int
+    emb_dim: int
+    group_channels: int = 16
+    use_spatial_softmax: bool = True
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.transpose(x, (0, 2, 3, 1))  # -> NHWC
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False)(x)
+        x = _gn(64, self.group_channels)(x)
+        x = self.activation(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for channels, down in [(64, False), (64, False), (128, True), (128, False),
+                               (256, True), (256, False), (512, True), (512, False)]:
+            x = _ResBlock2d(channels, down, self.group_channels, self.activation)(x)
+
+        if self.use_spatial_softmax:
+            feat = SpatialSoftmax()(x)  # (B, 512, 2)
+        else:
+            feat = nn.avg_pool(x, (7, 7), strides=(1, 1))
+        feat = feat.reshape(feat.shape[0], -1)
+        feat = nn.Dense(self.emb_dim)(feat)
+        feat = nn.silu(feat)
+        return nn.Dense(self.emb_dim)(feat)
+
+
+class ResNet18ImageCondition(BaseNNCondition):
+    """(b, C, H, W) or (b, N, C, H, W) -> (b, emb) or (b, N, emb)
+    (reference resnets.py:151-219)."""
+
+    image_sz: int
+    in_channel: int
+    emb_dim: int
+    group_channels: int = 16
+    use_spatial_softmax: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, condition, mask=None, train: bool = False):
+        nd = condition.ndim
+        assert nd in (4, 5), f"expected 4D/5D condition, got {condition.shape}"
+        b = condition.shape[0]
+        net = ResNet18(self.image_sz, self.in_channel, self.emb_dim,
+                       self.group_channels, self.use_spatial_softmax)
+        m = self.get_mask(b, mask, train, self.dropout)
+        if nd == 5:
+            n = condition.shape[1]
+            flat = condition.reshape((b * n,) + condition.shape[2:])
+            emb = net(flat).reshape(b, n, -1)
+            return emb * at_least_ndim(jnp.asarray(m), 3)
+        emb = net(condition)
+        return emb * at_least_ndim(jnp.asarray(m), 2)
+
+
+class ResNet18MultiViewImageCondition(BaseNNCondition):
+    """(b, V, C, H, W) or (b, V, N, C, H, W) -> (b, V, emb) / (b, V, N, emb)
+    (reference resnets.py:220-295); one ResNet18 per view."""
+
+    image_sz: int
+    in_channel: int
+    emb_dim: int
+    n_views: int
+    group_channels: int = 16
+    use_spatial_softmax: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, condition, mask=None, train: bool = False):
+        nd = condition.ndim
+        assert nd in (5, 6), f"expected 5D/6D condition, got {condition.shape}"
+        b = condition.shape[0]
+        m = self.get_mask(b, mask, train, self.dropout)
+        embs = []
+        for i in range(self.n_views):
+            net = ResNet18(self.image_sz, self.in_channel, self.emb_dim,
+                           self.group_channels, self.use_spatial_softmax)
+            view = condition[:, i]
+            if nd == 6:
+                n = view.shape[1]
+                flat = view.reshape((b * n,) + view.shape[2:])
+                embs.append(net(flat).reshape(b, n, -1))
+            else:
+                embs.append(net(view))
+        emb = jnp.stack(embs, axis=1)
+        return emb * at_least_ndim(jnp.asarray(m), emb.ndim)
+
+
+class SmallStem(nn.Module):
+    """Shallow-CNN patchifier (reference early_conv_vit.py:11-44).
+    Input (B, C, H, W) -> (B, tokens, d_model)."""
+
+    d_model: int
+    patch_size: int = 16
+    channels_per_group: int = 16
+    kernel_sizes: Sequence[int] = (3, 3, 3, 3)
+    strides: Sequence[int] = (2, 2, 2, 2)
+    features: Sequence[int] = (32, 64, 128, 256)
+    padding: Sequence[int] = (1, 1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        for k, s, f, p in zip(self.kernel_sizes, self.strides, self.features, self.padding):
+            x = nn.Conv(f, (k, k), strides=(s, s), padding=((p, p), (p, p)))(x)
+            x = _gn(f, self.channels_per_group)(x)
+            x = nn.relu(x)
+        ps = max(self.patch_size // 16, 1)
+        x = nn.Conv(self.d_model, (ps, ps), strides=(ps, ps), padding="VALID")(x)
+        return x.reshape(x.shape[0], -1, self.d_model)
+
+
+class EarlyConvViTMultiViewImageCondition(BaseNNCondition):
+    """Octo-style early-CNN ViT over multi-view image + lowdim tokens;
+    returns the readout token (reference early_conv_vit.py:47-199).
+
+    condition: {"image": (b, V, To, C, H, W), "lowdim": (b, To, D)?}.
+    """
+
+    image_sz: Sequence[int] = (64, 64)
+    in_channels: Sequence[int] = (3, 3)
+    lowdim_sz: Optional[int] = None
+    To: int = 1
+    d_model: int = 384
+    nhead: int = 6
+    num_layers: int = 2
+    attn_dropout: float = 0.0
+    ffn_dropout: float = 0.0
+    patch_size: Sequence[int] = (16, 16)
+    channels_per_group: Sequence[int] = (16, 16)
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, condition: Dict, mask=None, train: bool = False):
+        image = condition["image"]
+        b, v, t = image.shape[:3]
+        assert v == len(self.image_sz)
+
+        tokens = []
+        if self.lowdim_sz is not None:
+            lowdim_emb = self.param("lowdim_emb", nn.initializers.zeros, (1, 1, self.d_model))
+            tokens.append(nn.Dense(self.d_model)(condition["lowdim"]) + lowdim_emb)
+
+        for i in range(v):
+            stem = SmallStem(
+                d_model=self.d_model, patch_size=self.patch_size[i],
+                channels_per_group=self.channels_per_group[i],
+            )
+            view = image[:, i].reshape((b * t,) + image.shape[3:])
+            view_tokens = stem(view)
+            n_tok = view_tokens.shape[1]
+            view_tokens = view_tokens.reshape(b, t * n_tok, self.d_model)
+            view_emb = self.param(f"view_emb_{i}", nn.initializers.zeros, (1, 1, self.d_model))
+            pos = sinusoidal_features(jnp.arange(t * n_tok), self.d_model)[None]
+            tokens.append(view_tokens + view_emb + pos)
+
+        readout = self.param("readout_emb", nn.initializers.zeros, (1, 1, self.d_model))
+        tokens.append(jnp.tile(readout, (b, 1, 1)))
+        tokens = jnp.concatenate(tokens, axis=1)
+
+        causal = jnp.tril(jnp.ones((tokens.shape[1], tokens.shape[1])))
+        out, _ = Transformer(self.d_model, self.nhead, self.num_layers, 4,
+                             self.attn_dropout, self.ffn_dropout)(
+            tokens, mask=causal, deterministic=not train
+        )
+        emb = out[:, -1]
+        m = self.get_mask(b, mask, train, self.dropout)
+        return emb * at_least_ndim(jnp.asarray(m), 2)
+
+
+# ---------------------------------------------------------------------------
+def random_crop(rng, img, crop_h: int, crop_w: int):
+    """Random crop of (..., C, H, W) image(s); same crop per call."""
+    h, w = img.shape[-2], img.shape[-1]
+    kh, kw = jax.random.split(rng)
+    top = jax.random.randint(kh, (), 0, h - crop_h + 1)
+    left = jax.random.randint(kw, (), 0, w - crop_w + 1)
+    return jax.lax.dynamic_slice_in_dim(
+        jax.lax.dynamic_slice_in_dim(img, top, crop_h, axis=-2), left, crop_w, axis=-1
+    )
+
+
+def center_crop(img, crop_h: int, crop_w: int):
+    h, w = img.shape[-2], img.shape[-1]
+    top, left = (h - crop_h) // 2, (w - crop_w) // 2
+    return img[..., top : top + crop_h, left : left + crop_w]
+
+
+class MultiImageObsCondition(BaseNNCondition):
+    """shape_meta-driven dict obs encoder (reference
+    multi_image_condition.py:57-326): rgb keys -> per-key GN-ResNet18
+    (torchvision backbones replaced by the from-scratch flax ResNet18),
+    low_dim keys passed through; CropRandomizer (random crop at train,
+    center crop at eval); outputs (b, emb) or (b, To, emb).
+
+    shape_meta example:
+        {"obs": {"image": {"shape": [3, 96, 96], "type": "rgb"},
+                 "agent_pos": {"shape": [2], "type": "low_dim"}}}
+    """
+
+    shape_meta: Dict
+    emb_dim: int = 256
+    rgb_model_emb_dim: int = 64
+    crop_shape: Optional[Tuple[int, int]] = (76, 76)
+    group_channels: int = 16
+    use_seq: bool = False  # True: (b, To, ...) inputs -> (b, To, emb)
+    keep_horizon_dims: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, condition: Dict, mask=None, train: bool = False):
+        obs_meta = self.shape_meta["obs"]
+        rgb_keys = sorted(k for k, v in obs_meta.items() if v["type"] == "rgb")
+        low_dim_keys = sorted(k for k, v in obs_meta.items() if v["type"] == "low_dim")
+
+        feats = []
+        b = None
+        for key in rgb_keys:
+            img = condition[key]
+            meta_shape = tuple(obs_meta[key]["shape"])
+            if self.use_seq:
+                b, To = img.shape[:2]
+                img = img.reshape((b * To,) + img.shape[2:])
+            else:
+                b = img.shape[0]
+            if self.crop_shape is not None:
+                ch, cw = self.crop_shape
+                if train:
+                    img = random_crop(self.make_rng("dropout"), img, ch, cw)
+                else:
+                    img = center_crop(img, ch, cw)
+                sz = ch
+            else:
+                sz = meta_shape[-1]
+            net = ResNet18(sz, meta_shape[0], self.rgb_model_emb_dim,
+                           self.group_channels, True)
+            feats.append(net(img))
+        for key in low_dim_keys:
+            x = condition[key]
+            if self.use_seq:
+                b, To = x.shape[:2]
+                x = x.reshape(b * To, -1)
+            else:
+                b = x.shape[0]
+                x = x.reshape(b, -1)
+            feats.append(x)
+
+        h = jnp.concatenate(feats, axis=-1)
+        h = nn.Dense(self.emb_dim)(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.emb_dim)(h)
+        if self.use_seq:
+            h = h.reshape(b, -1, self.emb_dim)
+            if not self.keep_horizon_dims:
+                h = h.reshape(b, -1)
+        m = self.get_mask(b, mask, train, self.dropout)
+        return h * at_least_ndim(jnp.asarray(m), h.ndim)

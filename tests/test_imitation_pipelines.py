@@ -1,0 +1,81 @@
+"""Smoke tests for Diffusion Policy and DiffusionBC pipelines, including the
+fully on-device receding-horizon PushT evaluation."""
+
+import jax
+import numpy as np
+import pytest
+
+from cleandiffuser_tpu.dataset import PushTStateDataset, generate_pusht_demos
+from cleandiffuser_tpu.env.pusht_jax import PushTEnvJax
+from cleandiffuser_tpu.pipelines.dbc import DBCPipeline
+from cleandiffuser_tpu.pipelines.dp import DPPipeline
+
+
+@pytest.fixture(scope="module")
+def pusht_ds():
+    rb = generate_pusht_demos(n_episodes=3, max_steps=40)
+    return PushTStateDataset(rb, horizon=8, pad_before=1, pad_after=3)
+
+
+@pytest.mark.parametrize("nn", ["chi_unet", "chi_transformer", "dit"])
+def test_dp_train_and_chunk(pusht_ds, nn):
+    pipe = DPPipeline(
+        obs_dim=5, action_dim=2, horizon=8, obs_steps=2, action_steps=4,
+        nn=nn, diffusion="ddpm", sample_steps=3, gradient_steps=100,
+    )
+    rng = jax.random.PRNGKey(0)
+    batch = pusht_ds.sample_batch(rng, 8)
+    log = pipe.train_step(batch)
+    assert np.isfinite(log["loss"])
+    chunk = pipe.act_chunk(np.asarray(batch["obs"]["state"][:4]))
+    assert chunk.shape == (4, 4, 2)
+    assert np.all(np.abs(np.asarray(chunk)) <= 1.0 + 1e-5)
+
+
+def test_dp_edm(pusht_ds):
+    pipe = DPPipeline(
+        obs_dim=5, action_dim=2, horizon=8, obs_steps=2, action_steps=4,
+        nn="chi_unet", diffusion="edm", sample_steps=3, gradient_steps=100,
+    )
+    batch = pusht_ds.sample_batch(jax.random.PRNGKey(0), 8)
+    log = pipe.train_step(batch)
+    assert np.isfinite(log["loss"])
+
+
+def test_dp_on_device_eval(pusht_ds):
+    pipe = DPPipeline(
+        obs_dim=5, action_dim=2, horizon=8, obs_steps=2, action_steps=4,
+        nn="chi_unet", diffusion="ddpm", sample_steps=2, gradient_steps=100,
+    )
+    batch = pusht_ds.sample_batch(jax.random.PRNGKey(0), 8)
+    pipe.train_step(batch)
+    env = PushTEnvJax()
+    mean_rew, mean_success = pipe.evaluate_on_device(
+        env, pusht_ds.normalizer, num_envs=4, max_episode_steps=16
+    )
+    assert np.isfinite(mean_rew) and np.isfinite(mean_success)
+    assert 0.0 <= mean_success <= 1.0
+
+
+@pytest.mark.parametrize("nn", ["pearce_mlp", "pearce_transformer"])
+def test_dbc(pusht_ds, nn):
+    pipe = DBCPipeline(
+        obs_dim=5, action_dim=2, obs_steps=2, nn=nn, diffusion="ddpm",
+        emb_dim=32, sample_steps=4, gradient_steps=100,
+    )
+    batch = pusht_ds.sample_batch(jax.random.PRNGKey(0), 8)
+    log = pipe.train_step(batch)
+    assert np.isfinite(log["loss"])
+    act = pipe.act(np.asarray(batch["obs"]["state"][:4, :2]))
+    assert act.shape == (4, 2)
+
+
+def test_dbc_diffusion_x(pusht_ds):
+    pipe = DBCPipeline(
+        obs_dim=5, action_dim=2, obs_steps=2, nn="pearce_mlp", diffusion="ddim",
+        emb_dim=32, sample_steps=4, diffusion_x_sampling_steps=2, gradient_steps=100,
+    )
+    batch = pusht_ds.sample_batch(jax.random.PRNGKey(0), 8)
+    pipe.train_step(batch)
+    act = pipe.act(np.asarray(batch["obs"]["state"][:2, :2]))
+    assert np.all(np.isfinite(np.asarray(act)))
