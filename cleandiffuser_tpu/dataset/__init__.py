@@ -26,3 +26,13 @@ from .pusht import (
     generate_pusht_demos,
 )
 from .replay_buffer import ReplayBuffer
+from .block_push import BlockPushDataset
+from .d4rl_maze2d import D4RLMaze2DTDDataset, DV_D4RLMaze2DSeqDataset
+from .kitchen import KitchenDataset, KitchenDatasetV2
+from .robomimic import (
+    RobomimicDataset,
+    RobomimicImageDataset,
+    RobomimicTDDataset,
+    abs_action_transform,
+    undo_transform_action,
+)
