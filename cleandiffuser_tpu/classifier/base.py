@@ -52,14 +52,17 @@ class BaseClassifier:
     # ------------------------------------------------------------------
     def init(self, x_example, t_example, y_example=None) -> TrainState:
         self._root_rng, k1, k2 = jax.random.split(self._root_rng, 3)
-        params = self.nn_classifier.init(
-            {"params": k1, "dropout": k1},
-            jnp.asarray(x_example),
-            jnp.asarray(t_example),
-            # y may be an array or a pytree (e.g. QGPO's dict label)
-            jax.tree_util.tree_map(jnp.asarray, y_example) if y_example is not None else None,
+        x_example = jnp.asarray(x_example)
+        t_example = jnp.asarray(t_example)
+        y_example = (
+            jax.tree_util.tree_map(jnp.asarray, y_example) if y_example is not None else None
         )
-        self.state = TrainState.create(params, self.tx, k2)
+
+        def _build(k1, k2, x, t, y):
+            params = self.nn_classifier.init({"params": k1, "dropout": k1}, x, t, y)
+            return TrainState.create(params, self.tx, k2)
+
+        self.state = jax.jit(_build)(k1, k2, x_example, t_example, y_example)
         return self.state
 
     def _ensure_init(self, x, t, y=None):

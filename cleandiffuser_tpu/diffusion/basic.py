@@ -92,21 +92,33 @@ class DiffusionModel:
         x_example = jnp.asarray(x_example)
         b = x_example.shape[0]
         self._root_rng, kd, kc, ks = jax.random.split(self._root_rng, 4)
-        if condition_example is not None:
-            cond_params = self.nn_condition.init(
-                {"params": kc, "dropout": kc}, jnp.asarray(condition_example), train=False
-            )
-            emb_example = self.nn_condition.apply(
-                cond_params, jnp.asarray(condition_example), train=False
-            )
-        else:
-            cond_params = {}
-            emb_example = None
-        diff_params = self.nn_diffusion.init(
-            {"params": kd, "dropout": kd}, x_example, self.t_example(b), emb_example, train=False
+        has_cond = condition_example is not None
+        cond_tree = (
+            jax.tree_util.tree_map(jnp.asarray, condition_example) if has_cond else None
         )
-        params = {"diffusion": diff_params, "condition": cond_params}
-        self.state = TrainState.create(params, self.tx, ks)
+
+        # jit the whole init: eager flax init issues hundreds of small device
+        # ops, which is pathological over a high-latency device link
+        def build(kd, kc, x_example, cond_tree):
+            if has_cond:
+                cond_params = self.nn_condition.init(
+                    {"params": kc, "dropout": kc}, cond_tree, train=False
+                )
+                emb_example = self.nn_condition.apply(cond_params, cond_tree, train=False)
+            else:
+                cond_params = {}
+                emb_example = None
+            diff_params = self.nn_diffusion.init(
+                {"params": kd, "dropout": kd}, x_example, self.t_example(b), emb_example,
+                train=False,
+            )
+            return {"diffusion": diff_params, "condition": cond_params}
+
+        def build_state(kd, kc, ks, x_example, cond_tree):
+            params = build(kd, kc, x_example, cond_tree)
+            return TrainState.create(params, self.tx, ks)
+
+        self.state = jax.jit(build_state)(kd, kc, ks, x_example, cond_tree)
         return self.state
 
     def _ensure_init(self, x0, condition=None):

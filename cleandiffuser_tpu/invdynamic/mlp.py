@@ -83,8 +83,11 @@ class _BaseInvDynamic:
         rng = jax.random.PRNGKey(rng) if isinstance(rng, int) else rng
         k_init, self._rng = jax.random.split(rng)
         oo = jnp.zeros((1, 2 * o_dim))
-        self.params = self.net.init({"params": k_init, "dropout": k_init}, oo)
-        self.opt_state = self.tx.init(self.params)
+        def _build(k_init):
+            params = self.net.init({"params": k_init, "dropout": k_init}, oo)
+            return params, self.tx.init(params)
+
+        self.params, self.opt_state = jax.jit(_build)(k_init)
 
         def update_fn(params, opt_state, rng, o, a, o_next):
             oo = jnp.concatenate([o, o_next], axis=-1)

@@ -1,0 +1,95 @@
+"""Dataset acquisition helpers for the CLI pipelines.
+
+The reference obtains data via `env.get_dataset()` / `d4rl.qlearning_dataset`
+(network downloads + mujoco-py). This environment has neither d4rl nor
+network, so resolution order is:
+
+1. real d4rl, if importable;
+2. a local .npz snapshot at `$CLEANDIFFUSER_DATA/<env_name>[.qlearning].npz`
+   with the standard key schema;
+3. the synthetic generator (hermetic fallback, clearly warned).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+from ..dataset.fake import fake_d4rl_dataset, fake_d4rl_qlearning_dataset
+
+__all__ = ["load_d4rl_dataset", "load_d4rl_qlearning_dataset", "get_normalized_score_fn"]
+
+DATA_DIR = Path(os.environ.get("CLEANDIFFUSER_DATA", "dev/d4rl"))
+
+# d4rl reference min/max scores for normalized-score computation
+# (gym d4rl infos.py values for the locomotion suite)
+D4RL_SCORE_RANGES = {
+    "halfcheetah": (-280.178953, 12135.0),
+    "hopper": (-20.272305, 3234.3),
+    "walker2d": (1.629008, 4592.3),
+}
+
+
+def _try_npz(path: Path):
+    if path.exists():
+        arrs = np.load(path)
+        return {k: arrs[k] for k in arrs.files}
+    return None
+
+
+def load_d4rl_dataset(env_name: str) -> Dict[str, np.ndarray]:
+    try:
+        import d4rl  # noqa: F401
+        import gym
+
+        return gym.make(env_name).get_dataset()
+    except ImportError:
+        pass
+    data = _try_npz(DATA_DIR / f"{env_name}.npz")
+    if data is not None:
+        return data
+    print(f"[data] d4rl unavailable and no snapshot at {DATA_DIR}/{env_name}.npz; "
+          f"using SYNTHETIC data (hermetic mode)")
+    return fake_d4rl_dataset(env_name, n_steps=100_000, ep_len=1000)
+
+
+def load_d4rl_qlearning_dataset(env_name: str) -> Dict[str, np.ndarray]:
+    try:
+        import d4rl
+        import gym
+
+        return d4rl.qlearning_dataset(gym.make(env_name))
+    except ImportError:
+        pass
+    data = _try_npz(DATA_DIR / f"{env_name}.qlearning.npz")
+    if data is not None:
+        return data
+    print(f"[data] d4rl unavailable and no snapshot at {DATA_DIR}/{env_name}.qlearning.npz; "
+          f"using SYNTHETIC data (hermetic mode)")
+    return fake_d4rl_qlearning_dataset(env_name, n_steps=100_000, ep_len=1000)
+
+
+def get_normalized_score_fn(env_name: str):
+    """d4rl normalized score; falls back to identity scaling."""
+    for prefix, (lo, hi) in D4RL_SCORE_RANGES.items():
+        if env_name.startswith(prefix):
+            return lambda ret: (ret - lo) / (hi - lo)
+    return lambda ret: ret
+
+
+def make_eval_env_fns(env_name: str, num_envs: int):
+    """gymnasium eval envs approximating the d4rl task (v5 MuJoCo)."""
+    import gymnasium as gym
+
+    GYM_NAME = {
+        "halfcheetah": "HalfCheetah-v5",
+        "hopper": "Hopper-v5",
+        "walker2d": "Walker2d-v5",
+    }
+    for prefix, gid in GYM_NAME.items():
+        if env_name.startswith(prefix):
+            return [lambda: gym.make(gid) for _ in range(num_envs)]
+    raise ValueError(f"no gymnasium mapping for {env_name}")

@@ -89,13 +89,16 @@ class DQLPipeline:
         k1, self._rng = jax.random.split(key)
         obs_ex = jnp.zeros((1, obs_dim))
         act_ex = jnp.zeros((1, act_dim))
-        critic_params = self.critic.init(k1, obs_ex, act_ex)
-        self.critic_state = CriticState(
-            params=critic_params,
-            target_params=jax.tree_util.tree_map(jnp.copy, critic_params),
-            opt_state=self.critic_tx.init(critic_params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        def _build_critic(k1):
+            critic_params = self.critic.init(k1, obs_ex, act_ex)
+            return CriticState(
+                params=critic_params,
+                target_params=jax.tree_util.tree_map(jnp.copy, critic_params),
+                opt_state=self.critic_tx.init(critic_params),
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        self.critic_state = jax.jit(_build_critic)(k1)
         self.actor.init(act_ex, obs_ex)
 
         self._sample_fn = self.actor.build_sample_fn(

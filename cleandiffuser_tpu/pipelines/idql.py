@@ -89,16 +89,19 @@ class IDQLPipeline:
         key = jax.random.PRNGKey(rng + 1)
         kq, kv, self._rng = jax.random.split(key, 3)
         obs_ex, act_ex = jnp.zeros((1, obs_dim)), jnp.zeros((1, act_dim))
-        q_params = self.q_net.init(kq, obs_ex, act_ex)
-        v_params = self.v_net.init(kv, obs_ex)
-        self.critic_state = IQLCriticState(
-            q_params=q_params,
-            q_target_params=jax.tree_util.tree_map(jnp.copy, q_params),
-            v_params=v_params,
-            q_opt_state=self.q_tx.init(q_params),
-            v_opt_state=self.v_tx.init(v_params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        def _build_critic(kq, kv):
+            q_params = self.q_net.init(kq, obs_ex, act_ex)
+            v_params = self.v_net.init(kv, obs_ex)
+            return IQLCriticState(
+                q_params=q_params,
+                q_target_params=jax.tree_util.tree_map(jnp.copy, q_params),
+                v_params=v_params,
+                q_opt_state=self.q_tx.init(q_params),
+                v_opt_state=self.v_tx.init(v_params),
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        self.critic_state = jax.jit(_build_critic)(kq, kv)
         self.actor.init(act_ex, obs_ex)
 
         self._sample_fn = self.actor.build_sample_fn(

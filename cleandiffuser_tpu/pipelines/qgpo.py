@@ -56,10 +56,14 @@ class QGPOPipeline:
         self.q_net = TwinQ(hidden_dim=256)
         key = jax.random.PRNGKey(rng + 1)
         kq, self._rng = jax.random.split(key)
-        self.q_params = self.q_net.init(kq, jnp.zeros((1, obs_dim)), jnp.zeros((1, act_dim)))
-        self.q_target_params = jax.tree_util.tree_map(jnp.copy, self.q_params)
         self.q_tx = optax.adam(3e-4)
-        self.q_opt_state = self.q_tx.init(self.q_params)
+
+        def _build_q(kq):
+            q_params = self.q_net.init(kq, jnp.zeros((1, obs_dim)), jnp.zeros((1, act_dim)))
+            return (q_params, jax.tree_util.tree_map(jnp.copy, q_params),
+                    self.q_tx.init(q_params))
+
+        self.q_params, self.q_target_params, self.q_opt_state = jax.jit(_build_q)(kq)
 
         nn_classifier = QGPONNClassifier(
             obs_dim=obs_dim, act_dim=act_dim, emb_dim=emb_dim,

@@ -73,9 +73,13 @@ class SfBCPipeline:
         """Critic is re-initialized each in-sample-planning iteration
         (reference sfbc:143-145)."""
         self._rng, k = jax.random.split(self._rng)
-        self.critic_params = self.critic.init(k, jnp.zeros((1, self.obs_dim + self.act_dim)))
         self.critic_tx = optax.adam(self.critic_lr)
-        self.critic_opt_state = self.critic_tx.init(self.critic_params)
+
+        def _build_critic(k):
+            params = self.critic.init(k, jnp.zeros((1, self.obs_dim + self.act_dim)))
+            return params, self.critic_tx.init(params)
+
+        self.critic_params, self.critic_opt_state = jax.jit(_build_critic)(k)
         if "critic_update" not in getattr(self, "_fn_cache", {}):
             def critic_update(params, opt_state, obs, act, val):
                 def loss_fn(p):

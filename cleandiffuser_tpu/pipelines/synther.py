@@ -81,18 +81,21 @@ class TD3BC:
         key = jax.random.PRNGKey(rng)
         ka, kc, krun = jax.random.split(key, 3)
         obs_ex, act_ex = jnp.zeros((1, obs_dim)), jnp.zeros((1, act_dim))
-        actor_params = self.actor.init(ka, obs_ex)
-        critic_params = self.critic.init(kc, obs_ex, act_ex)
-        self.state = TD3BCState(
-            actor_params=actor_params,
-            actor_target_params=jax.tree_util.tree_map(jnp.copy, actor_params),
-            critic_params=critic_params,
-            critic_target_params=jax.tree_util.tree_map(jnp.copy, critic_params),
-            actor_opt_state=self.actor_tx.init(actor_params),
-            critic_opt_state=self.critic_tx.init(critic_params),
-            step=jnp.zeros((), jnp.int32),
-            rng=krun,
-        )
+        def _build(ka, kc, krun):
+            actor_params = self.actor.init(ka, obs_ex)
+            critic_params = self.critic.init(kc, obs_ex, act_ex)
+            return TD3BCState(
+                actor_params=actor_params,
+                actor_target_params=jax.tree_util.tree_map(jnp.copy, actor_params),
+                critic_params=critic_params,
+                critic_target_params=jax.tree_util.tree_map(jnp.copy, critic_params),
+                actor_opt_state=self.actor_tx.init(actor_params),
+                critic_opt_state=self.critic_tx.init(critic_params),
+                step=jnp.zeros((), jnp.int32),
+                rng=krun,
+            )
+
+        self.state = jax.jit(_build)(ka, kc, krun)
         self._jit_update = jax.jit(self._make_update(), donate_argnums=0)
         self._jit_act = jax.jit(lambda p, o: self.actor.apply(p, o))
 

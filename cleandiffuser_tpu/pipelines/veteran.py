@@ -148,8 +148,11 @@ class VeteranPipeline:
                             jnp.zeros((1,)), jnp.zeros((1, 1)))
         if self.critic is not None:
             k = jax.random.PRNGKey(rng + 2)
-            self.critic_params = self.critic.init(k, jnp.zeros((1, planner_horizon, planner_dim)))
-            self.critic_opt_state = self.critic_tx.init(self.critic_params)
+            def _build_critic(k):
+                params = self.critic.init(k, jnp.zeros((1, planner_horizon, planner_dim)))
+                return params, self.critic_tx.init(params)
+
+            self.critic_params, self.critic_opt_state = jax.jit(_build_critic)(k)
 
         # policy / inverse dynamics
         self.policy = None
@@ -176,13 +179,17 @@ class VeteranPipeline:
         # EV net (MCSS value selection)
         self.ev_net = IDQLVNet(hidden_dim=256)
         k = jax.random.PRNGKey(rng + 4)
-        ev_params = self.ev_net.init(k, jnp.zeros((1, obs_dim)))
         self.ev_tx = optax.adam(3e-4)
-        self.ev_state = EVState(
-            params=ev_params,
-            target_params=jax.tree_util.tree_map(jnp.copy, ev_params),
-            opt_state=self.ev_tx.init(ev_params),
-        )
+
+        def _build_ev(k):
+            ev_params = self.ev_net.init(k, jnp.zeros((1, obs_dim)))
+            return EVState(
+                params=ev_params,
+                target_params=jax.tree_util.tree_map(jnp.copy, ev_params),
+                opt_state=self.ev_tx.init(ev_params),
+            )
+
+        self.ev_state = jax.jit(_build_ev)(k)
 
         self._fn_cache = {}
         self._rng = jax.random.PRNGKey(rng + 5)

@@ -61,15 +61,18 @@ class IQL:
         kq, kv = jax.random.split(rng)
         obs = jnp.zeros((1, obs_dim))
         act = jnp.zeros((1, act_dim))
-        q_params = self.Q.init(kq, obs, act)
-        v_params = self.V.init(kv, obs)
-        self.state = IQLState(
-            q_params=q_params,
-            q_target_params=jax.tree_util.tree_map(lambda p: p, q_params),
-            v_params=v_params,
-            q_opt_state=self.optQ.init(q_params),
-            v_opt_state=self.optV.init(v_params),
-        )
+        def _build(kq, kv):
+            q_params = self.Q.init(kq, obs, act)
+            v_params = self.V.init(kv, obs)
+            return IQLState(
+                q_params=q_params,
+                q_target_params=jax.tree_util.tree_map(jnp.copy, q_params),
+                v_params=v_params,
+                q_opt_state=self.optQ.init(q_params),
+                v_opt_state=self.optV.init(v_params),
+            )
+
+        self.state = jax.jit(_build)(kq, kv)
 
         self._jit_update_v = jax.jit(self._update_v)
         self._jit_update_q = jax.jit(self._update_q)

@@ -1,0 +1,96 @@
+"""Diffusion Policy on PushT — CLI entry (reference pipelines/dp_pusht.py).
+
+Usage:
+    python pipelines/dp_pusht.py mode=train nn=chi_unet
+    python pipelines/dp_pusht.py mode=inference
+
+Data: a diffusion_policy-format .npz/zarr at `dataset_path`; if missing,
+scripted demos from the pure-JAX PushT env are generated on the fly.
+Evaluation runs fully on-device against PushTEnvJax.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+from cleandiffuser_tpu.dataset import PushTStateDataset, generate_pusht_demos
+from cleandiffuser_tpu.env.pusht_jax import PushTEnvJax
+from cleandiffuser_tpu.pipelines import DPPipeline
+from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.logger import Logger
+from cleandiffuser_tpu.utils.tensors import set_seed
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dp/pusht/chi_unet"
+
+
+def pipeline(args):
+    set_seed(args.seed)
+    save_path = Path(f"results/{args.pipeline_name}/")
+    save_path.mkdir(parents=True, exist_ok=True)
+    logger = Logger(save_path, args.to_dict())
+
+    dataset_path = Path(args.dataset_path)
+    if dataset_path.exists():
+        source = str(dataset_path)
+    else:
+        print(f"[data] no dataset at {dataset_path}; generating scripted JAX demos")
+        source = generate_pusht_demos(n_episodes=64, max_steps=200, seed=args.seed)
+
+    dataset = PushTStateDataset(
+        source, horizon=args.horizon,
+        pad_before=args.obs_steps - 1, pad_after=args.action_steps - 1,
+    )
+    pipe = DPPipeline(
+        obs_dim=args.obs_dim, action_dim=args.action_dim, horizon=args.horizon,
+        obs_steps=args.obs_steps, action_steps=args.action_steps,
+        nn=args.nn, diffusion=args.diffusion, sample_steps=args.sample_steps,
+        lr=args.lr, gradient_steps=args.gradient_steps, ema_rate=args.ema_rate,
+        rng=args.seed,
+    )
+    env = PushTEnvJax()
+
+    if args.mode == "train":
+        rng = jax.random.PRNGKey(args.seed)
+        losses = []
+        for step in range(args.gradient_steps):
+            rng, k = jax.random.split(rng)
+            log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
+            losses.append(log["loss"])
+            if (step + 1) % args.log_freq == 0:
+                m = {"step": step + 1, "avg_diffusion_loss": sum(losses) / len(losses)}
+                print(m)
+                logger.log(m, "train")
+                losses = []
+            if (step + 1) % args.save_freq == 0:
+                pipe.save(str(save_path / f"ckpt_{step + 1}"))
+                pipe.save(str(save_path / "ckpt_latest"))
+            if (step + 1) % args.eval_freq == 0:
+                mean_rew, mean_success = pipe.evaluate_on_device(
+                    env, dataset.normalizer, num_envs=args.num_envs,
+                    max_episode_steps=args.max_episode_steps,
+                )
+                m = {"step": step + 1, "mean_reward": mean_rew, "mean_success": mean_success}
+                print(m)
+                logger.log(m, "inference")
+
+    elif args.mode == "inference":
+        pipe.load(str(save_path / "ckpt_latest"))
+        mean_rew, mean_success = pipe.evaluate_on_device(
+            env, dataset.normalizer, num_envs=args.num_envs,
+            max_episode_steps=args.max_episode_steps,
+        )
+        print({"mean_reward": mean_rew, "mean_success": mean_success})
+        logger.log({"mean_reward": mean_rew, "mean_success": mean_success}, "inference")
+    else:
+        raise ValueError(f"Invalid mode: {args.mode}")
+    logger.finish()
+
+
+if __name__ == "__main__":
+    overrides = parse_cli(sys.argv[1:])
+    nn = next((o.split("=")[1] for o in overrides if o.startswith("nn=")), "chi_unet")
+    config_dir = Path(__file__).resolve().parents[1] / f"configs/dp/pusht/{nn}"
+    pipeline(load_config(config_dir, "pusht", overrides))

@@ -1,0 +1,116 @@
+"""DQL on D4RL-MuJoCo — CLI entry (reference pipelines/dql_d4rl_mujoco.py).
+
+Usage:
+    python pipelines/dql_d4rl_mujoco.py mode=train task=halfcheetah-medium-v2
+    python pipelines/dql_d4rl_mujoco.py mode=inference num_envs=10
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from cleandiffuser_tpu.dataset import D4RLMuJoCoTDDataset
+from cleandiffuser_tpu.pipelines import DQLPipeline
+from cleandiffuser_tpu.pipelines.data_loading import (
+    get_normalized_score_fn,
+    load_d4rl_qlearning_dataset,
+    make_eval_env_fns,
+)
+from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.logger import Logger
+from cleandiffuser_tpu.utils.tensors import set_seed
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dql/mujoco"
+
+
+def pipeline(args):
+    set_seed(args.seed)
+    save_path = Path(f"results/{args.pipeline_name}/{args.task.env_name}/")
+    save_path.mkdir(parents=True, exist_ok=True)
+    logger = Logger(save_path, args.to_dict())
+
+    dataset = D4RLMuJoCoTDDataset(
+        load_d4rl_qlearning_dataset(args.task.env_name), args.normalize_reward
+    )
+    pipe = DQLPipeline(
+        obs_dim=dataset.o_dim,
+        act_dim=dataset.a_dim,
+        diffusion_steps=args.diffusion_steps,
+        sampling_steps=args.sampling_steps,
+        solver=args.solver,
+        hidden_dim=args.hidden_dim,
+        actor_lr=args.actor_learning_rate,
+        critic_lr=args.critic_learning_rate,
+        gradient_steps=args.gradient_steps,
+        discount=args.discount,
+        eta=args.task.eta,
+        ema_rate=args.ema_rate,
+        ema_update_interval=args.ema_update_interval,
+        predict_noise=args.predict_noise,
+        rng=args.seed,
+    )
+
+    if args.mode == "train":
+        rng = jax.random.PRNGKey(args.seed)
+        log_acc = {}
+        for step in range(args.gradient_steps):
+            rng, k = jax.random.split(rng)
+            batch = dataset.sample_batch(k, args.batch_size)
+            log = pipe.train_step(batch)
+            for key, v in log.items():
+                log_acc[key] = log_acc.get(key, 0.0) + float(v)
+            if (step + 1) % args.log_interval == 0:
+                log_acc = {k: v / args.log_interval for k, v in log_acc.items()}
+                log_acc["gradient_steps"] = step + 1
+                print(log_acc)
+                logger.log(log_acc, "train")
+                log_acc = {}
+            if (step + 1) % args.save_interval == 0:
+                pipe.save(str(save_path / f"ckpt_{step + 1}.pkl"))
+                pipe.save(str(save_path / "ckpt_latest.pkl"))
+
+    elif args.mode == "inference":
+        pipe.load(str(save_path / f"ckpt_{args.ckpt}.pkl"))
+        normalizer = dataset.get_normalizer()
+        score_fn = get_normalized_score_fn(args.task.env_name)
+        try:
+            import gymnasium as gym
+
+            envs = gym.vector.SyncVectorEnv(
+                make_eval_env_fns(args.task.env_name, args.num_envs)
+            )
+        except Exception as e:
+            print(f"eval env unavailable: {e}")
+            return
+        episode_rewards = []
+        for ep in range(args.num_episodes):
+            obs, _ = envs.reset(seed=args.seed + ep)
+            ep_reward, cum_done, t = np.zeros(args.num_envs), np.zeros(args.num_envs), 0
+            while not np.all(cum_done) and t < 1001:
+                nobs = normalizer.normalize(obs)
+                act = pipe.act(
+                    nobs, num_candidates=args.num_candidates,
+                    weight_temperature=args.task.weight_temperature,
+                    use_ema=args.use_ema, temperature=args.temperature,
+                )
+                obs, rew, term, trunc, _ = envs.step(np.asarray(act))
+                done = np.logical_or(term, trunc)
+                t += 1
+                cum_done = np.logical_or(cum_done, done)
+                ep_reward += rew * (1 - cum_done) if t < 1000 else rew
+            episode_rewards.append([score_fn(r) for r in ep_reward])
+            print(f"episode {ep}: {np.mean(episode_rewards[-1]):.3f}")
+        episode_rewards = np.array(episode_rewards)
+        print(np.mean(episode_rewards, -1), np.std(episode_rewards, -1))
+        logger.log({"normalized_score_mean": float(np.mean(episode_rewards))}, "inference")
+    else:
+        raise ValueError(f"Invalid mode: {args.mode}")
+    logger.finish()
+
+
+if __name__ == "__main__":
+    pipeline(load_config(CONFIG_DIR, "mujoco", parse_cli(sys.argv[1:])))
