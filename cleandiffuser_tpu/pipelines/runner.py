@@ -1,0 +1,85 @@
+"""Shared CLI runner utilities for the pipeline entry points."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..utils.logger import Logger
+
+__all__ = ["train_loop", "d4rl_eval_loop"]
+
+
+def train_loop(
+    step_fn: Callable[[jax.Array], Dict[str, float]],
+    gradient_steps: int,
+    log_interval: int,
+    save_interval: int,
+    save_fn: Callable[[str], None],
+    logger: Optional[Logger] = None,
+    seed: int = 0,
+):
+    """Generic training loop: step_fn(rng) -> log dict of floats."""
+    rng = jax.random.PRNGKey(seed)
+    log_acc: Dict[str, float] = {}
+    for step in range(gradient_steps):
+        rng, k = jax.random.split(rng)
+        log = step_fn(k)
+        for key, v in log.items():
+            log_acc[key] = log_acc.get(key, 0.0) + float(v)
+        if (step + 1) % log_interval == 0:
+            log_acc = {k_: v / log_interval for k_, v in log_acc.items()}
+            log_acc["gradient_steps"] = step + 1
+            print(log_acc)
+            if logger is not None:
+                logger.log(log_acc, "train")
+            log_acc = {}
+        if (step + 1) % save_interval == 0:
+            save_fn(str(step + 1))
+            save_fn("latest")
+
+
+def d4rl_eval_loop(
+    act_fn: Callable[[np.ndarray], np.ndarray],
+    env_name: str,
+    normalizer,
+    num_envs: int,
+    num_episodes: int,
+    seed: int = 0,
+    max_steps: int = 1000,
+    logger: Optional[Logger] = None,
+):
+    """Vectorized eval with the reference's reward bookkeeping
+    (ep_reward += rew * (1 - cum_done) if t < max_steps else rew)."""
+    from .data_loading import get_normalized_score_fn, make_eval_env_fns
+
+    import gymnasium as gym
+
+    envs = gym.vector.SyncVectorEnv(make_eval_env_fns(env_name, num_envs))
+    score_fn = get_normalized_score_fn(env_name)
+    episode_rewards = []
+    for ep in range(num_episodes):
+        obs, _ = envs.reset(seed=seed + ep)
+        ep_reward = np.zeros(num_envs)
+        cum_done = np.zeros(num_envs)
+        t = 0
+        while not np.all(cum_done) and t < max_steps + 1:
+            nobs = normalizer.normalize(obs)
+            act = np.asarray(act_fn(nobs))
+            obs, rew, term, trunc, _ = envs.step(act)
+            done = np.logical_or(term, trunc)
+            t += 1
+            cum_done = np.logical_or(cum_done, done)
+            ep_reward += rew * (1 - cum_done) if t < max_steps else rew
+        episode_rewards.append([score_fn(r) for r in ep_reward])
+        print(f"episode {ep}: {np.mean(episode_rewards[-1]):.3f}")
+    episode_rewards = np.array(episode_rewards)
+    mean, std = np.mean(episode_rewards, -1), np.std(episode_rewards, -1)
+    print(mean, std)
+    if logger is not None:
+        logger.log({"normalized_score_mean": float(np.mean(episode_rewards)),
+                    "normalized_score_std": float(np.std(episode_rewards))}, "inference")
+    return episode_rewards

@@ -1,0 +1,103 @@
+"""SynthER on D4RL-MuJoCo — CLI entry (reference pipelines/synther_d4rl_mujoco.py).
+
+Modes: train_diffusion -> transition_generation -> train_td3bc -> inference.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from cleandiffuser_tpu.dataset import D4RLMuJoCoTDDataset
+from cleandiffuser_tpu.pipelines import SynthERPipeline, TD3BC
+from cleandiffuser_tpu.pipelines.data_loading import load_d4rl_qlearning_dataset
+from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
+from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.logger import Logger
+from cleandiffuser_tpu.utils.tensors import set_seed
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/synther/mujoco"
+
+
+class _MixedTD(D4RLMuJoCoTDDataset):
+    """Real + synthetic transition mix (reference SynthERD4RLMuJoCoTDDataset,
+    synther:23-58). Synthetic observations are already normalized."""
+
+    def __init__(self, raw, extra: np.ndarray, normalize_reward: bool):
+        super().__init__(raw, normalize_reward)
+        o, a = self.o_dim, self.a_dim
+        self.obs = np.concatenate([self.obs, extra[:, :o]], 0)
+        self.act = np.concatenate([self.act, extra[:, o:o + a].clip(-1, 1)], 0)
+        self.rew = np.concatenate([self.rew, extra[:, o + a : o + a + 1]], 0)
+        self.next_obs = np.concatenate([self.next_obs, extra[:, o + a + 1 : 2 * o + a + 1]], 0)
+        self.tml = np.concatenate([self.tml, (extra[:, -1:] > 0.5).astype(np.float32)], 0)
+        self.size = self.obs.shape[0]
+        from cleandiffuser_tpu.dataset.base import DeviceTDSampler
+
+        self._sampler = DeviceTDSampler(
+            {"obs": self.obs, "next_obs": self.next_obs, "act": self.act,
+             "rew": self.rew, "tml": self.tml}
+        )
+
+
+def pipeline(args):
+    set_seed(args.seed)
+    save_path = Path(f"results/{args.pipeline_name}/{args.task.env_name}/")
+    save_path.mkdir(parents=True, exist_ok=True)
+    logger = Logger(save_path, args.to_dict())
+
+    raw = load_d4rl_qlearning_dataset(args.task.env_name)
+    dataset = D4RLMuJoCoTDDataset(raw, args.normalize_reward)
+    synther = SynthERPipeline(
+        obs_dim=dataset.o_dim, act_dim=dataset.a_dim,
+        diffusion_steps=args.diffusion_steps, lr=args.diffusion_learning_rate,
+        gradient_steps=args.diffusion_gradient_steps, ema_rate=args.ema_rate,
+        rng=args.seed,
+    )
+    extra_path = save_path / "extra_transitions.npy"
+
+    if args.mode == "train_diffusion":
+        train_loop(
+            lambda k: synther.train_step(dataset.sample_batch(k, args.batch_size)),
+            args.diffusion_gradient_steps, args.log_interval, args.save_interval,
+            lambda tag: synther.diffusion.save(str(save_path / f"diff_ckpt_{tag}")),
+            logger, args.seed,
+        )
+    elif args.mode == "transition_generation":
+        synther.diffusion.load(str(save_path / "diff_ckpt_latest"))
+        extra = synther.generate_transitions(args.num_transitions)
+        np.save(extra_path, extra)
+    elif args.mode == "train_td3bc":
+        extra = np.load(extra_path)
+        mixed = _MixedTD(raw, extra, args.normalize_reward)
+        agent = TD3BC(obs_dim=dataset.o_dim, act_dim=dataset.a_dim,
+                      gradient_steps=args.td3bc_gradient_steps, rng=args.seed)
+        train_loop(
+            lambda k: agent.update(mixed.sample_batch(k, args.batch_size)),
+            args.td3bc_gradient_steps, args.log_interval, args.save_interval,
+            lambda tag: None, logger, args.seed,
+        )
+        import pickle
+        with open(save_path / "td3bc.pkl", "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(np.asarray, agent.state), f)
+    elif args.mode == "inference":
+        import pickle
+        agent = TD3BC(obs_dim=dataset.o_dim, act_dim=dataset.a_dim, rng=args.seed)
+        with open(save_path / "td3bc.pkl", "rb") as f:
+            import jax.numpy as jnp
+            agent.state = jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+        d4rl_eval_loop(
+            lambda nobs: agent.act(nobs), args.task.env_name,
+            dataset.get_normalizer(), args.num_envs, args.num_episodes,
+            args.seed, logger=logger,
+        )
+    else:
+        raise ValueError(f"Invalid mode: {args.mode}")
+    logger.finish()
+
+
+if __name__ == "__main__":
+    pipeline(load_config(CONFIG_DIR, "mujoco", parse_cli(sys.argv[1:])))
