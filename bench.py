@@ -68,6 +68,35 @@ def round_trip_floor():
     return (time.perf_counter() - t0) / 10
 
 
+def bench_planner(name, nn_diffusion, x_shape, batch, steps, repeat=10,
+                  floor=0.0, cond_dim=None):
+    """Throughput of a trajectory-planner sampling program (plans/sec)."""
+    from cleandiffuser_tpu.diffusion import DiscreteDiffusionSDE
+
+    engine = DiscreteDiffusionSDE(nn_diffusion, diffusion_steps=steps, rng=0)
+    prior = jnp.zeros((batch,) + x_shape)
+    engine.init(prior)
+    sample_fn = engine.build_sample_fn(
+        solver="ddpm", sample_steps=steps, cfg_mode="uncond", final_logp=False
+    )
+
+    @jax.jit
+    def run_many(params, r):
+        def body(carry, _):
+            r, acc = carry
+            r, k = jax.random.split(r)
+            x, _ = sample_fn(params, None, k, prior)
+            return (r, acc + x.sum()), None
+
+        (_, acc), _ = jax.lax.scan(body, (r, 0.0), None, length=repeat)
+        return acc
+
+    t = (time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
+                 n_warmup=1, n_iters=3) - floor) / repeat
+    return {f"{name}_plans_per_sec": round(batch / t, 1),
+            f"{name}_ms_per_batch": round(t * 1e3, 3)}
+
+
 def main():
     engine = build_engine()
     prior = jnp.zeros((BATCH, ACT_DIM))
@@ -133,6 +162,30 @@ def main():
     denoise_steps_per_sec = BATCH * SAMPLE_STEPS / t_fused
     vs_baseline = t_dispatch / t_fused
 
+    # ---- planner benches (BASELINE config #2): Diffuser JannerUNet (20-step,
+    # 50 envs x 64 candidates) and DD DiT (20-step, 50 envs) ----
+    from cleandiffuser_tpu.nn_diffusion import DiT1d, JannerUNet1d
+
+    planner_detail = {}
+    try:
+        planner_detail.update(
+            bench_planner(
+                "diffuser_janner_h32",
+                JannerUNet1d(in_dim=23, model_dim=32, emb_dim=32, kernel_size=5),
+                (32, 23), batch=50 * 64, steps=20, repeat=5, floor=floor,
+            )
+        )
+        planner_detail.update(
+            bench_planner(
+                "dd_dit_h32",
+                DiT1d(in_dim=17, emb_dim=128, d_model=320, n_heads=10, depth=2,
+                      timestep_emb_type="fourier"),
+                (32, 17), batch=50, steps=20, repeat=20, floor=floor,
+            )
+        )
+    except Exception as e:  # keep the primary metric robust
+        planner_detail["planner_bench_error"] = str(e)[:200]
+
     print(
         json.dumps(
             {
@@ -147,6 +200,7 @@ def main():
                     "fused_ms": round(t_fused * 1e3, 3),
                     "per_step_dispatch_ms": round(t_dispatch * 1e3, 3),
                     "device": str(jax.devices()[0]),
+                    **planner_detail,
                 },
             }
         )

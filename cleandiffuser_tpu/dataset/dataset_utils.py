@@ -32,6 +32,12 @@ def create_indices(
     debug: bool = True,
 ) -> np.ndarray:
     """(N, 4) [buffer_start, buffer_end, sample_start, sample_end]."""
+    if not debug:
+        from .._native import native_create_indices
+
+        out = native_create_indices(episode_ends, sequence_length, pad_before, pad_after)
+        if out is not None:
+            return out
     pad_before = min(max(pad_before, 0), sequence_length - 1)
     pad_after = min(max(pad_after, 0), sequence_length - 1)
 
