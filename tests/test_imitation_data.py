@@ -99,3 +99,28 @@ def test_pusht_datasets_from_demos():
     assert item["obs"]["state"].shape == (10, 20)
     batch = kds.sample_batch(jax.random.PRNGKey(0), 8)
     assert batch["obs"]["state"].shape == (8, 10, 20)
+
+
+def test_native_indexing_matches_numpy():
+    from cleandiffuser_tpu._native import (
+        NATIVE_AVAILABLE,
+        native_create_indices,
+        native_window_rows,
+    )
+
+    if not NATIVE_AVAILABLE:
+        import pytest
+
+        pytest.skip("native library not built")
+    ends = np.array([10, 25, 25, 40])  # includes an empty episode
+    for seq, pb, pa in [(6, 2, 3), (4, 0, 0), (8, 7, 7)]:
+        ref = create_indices(ends, seq, pb, pa)
+        nat = native_create_indices(ends, seq, pb, pa)
+        np.testing.assert_array_equal(ref, nat)
+        # window rows replicate edges exactly like SequenceSampler padding
+        rows = native_window_rows(ref, seq)
+        for (b0, b1, s0, s1), row in zip(ref, rows):
+            assert row[0] == b0 if s0 == 0 else row[0] == b0
+            np.testing.assert_array_equal(row[s0:s1], np.arange(b0, b1))
+            assert np.all(row[:s0] == b0)
+            assert np.all(row[s1:] == b1 - 1)
