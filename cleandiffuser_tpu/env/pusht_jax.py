@@ -320,3 +320,19 @@ class PushTKeypointEnvJax(PushTEnvJax):
     def get_obs(self, state: PushTState):
         kp = self.keypoints(state).reshape(*state.block_angle.shape, -1)
         return jnp.concatenate([kp, state.agent_pos], axis=-1)
+
+
+class PushTImageEnvJax(PushTEnvJax):
+    """Image-observation variant (reference pusht_image_env.py): obs is a
+    dict {"image": (..., 3, H, W) float in [0,1], "agent_pos": (..., 2)}.
+    Rendering is the SDF rasterizer, vmapped over the batch so image
+    observations are produced on device."""
+
+    def __init__(self, render_size: int = 96, coverage_grid_n: int = 32):
+        super().__init__(coverage_grid_n)
+        self.render_size = render_size
+
+    def get_obs(self, state: PushTState):
+        imgs = jax.vmap(lambda s: self.render_state(s, self.render_size))(state)
+        imgs = jnp.moveaxis(imgs, -1, -3).astype(jnp.float32) / 255.0
+        return {"image": imgs, "agent_pos": state.agent_pos}

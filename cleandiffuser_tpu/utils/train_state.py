@@ -74,13 +74,32 @@ def ema_update(params, ema_params, ema_rate: float):
     )
 
 
-def save_state(state: TrainState, path: str) -> None:
-    """Serialize the full state (params, EMA, optimizer, step, rng) to disk."""
+def save_state(state: TrainState, path: str, backend: str = "pickle") -> None:
+    """Serialize the full state (params, EMA, optimizer, step, rng) to disk.
+
+    backend="orbax" writes an orbax checkpoint directory (async-safe,
+    sharding-aware — preferred for multi-chip runs); "pickle" writes a
+    single host-numpy file.
+    """
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(str(Path(path).resolve()), state, force=True)
+        return
     host = jax.tree_util.tree_map(np.asarray, state)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(host, f)
+
+
+def load_state_orbax(path: str, like: TrainState) -> TrainState:
+    """Restore an orbax checkpoint with `like` as the structure template."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(str(Path(path).resolve()), item=like)
 
 
 def load_state(path: str, like: Optional[TrainState] = None) -> TrainState:

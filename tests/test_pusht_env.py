@@ -104,3 +104,15 @@ def test_vmapped_rollout_scan():
     rews = jax.jit(rollout)(jax.random.PRNGKey(0))
     assert rews.shape == (10, 8)
     assert np.all(np.isfinite(np.asarray(rews)))
+
+
+def test_image_env():
+    from cleandiffuser_tpu.env.pusht_jax import PushTImageEnvJax
+
+    env = PushTImageEnvJax(render_size=64)
+    state, obs = env.reset(jax.random.PRNGKey(0), 2)
+    assert obs["image"].shape == (2, 3, 64, 64)
+    assert obs["agent_pos"].shape == (2, 2)
+    assert float(obs["image"].max()) <= 1.0
+    state2, obs2, rew, done = env.step(state, state.agent_pos + 10.0)
+    assert obs2["image"].shape == (2, 3, 64, 64)

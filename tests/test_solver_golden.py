@@ -108,3 +108,36 @@ def test_table_construction_matches_reference_formulas():
     np.testing.assert_allclose(
         np.asarray(sigmas), np.sqrt(1 - np.exp(2 * la)), rtol=1e-3, atol=1e-5
     )
+
+
+class GaussianOracle(nn.Module):
+    """Exact eps-predictor for data ~ N(mu, S^2) under the VP forward
+    process: eps*(x,t) = sigma_t (x - alpha_t mu) / (alpha_t^2 S^2 + sigma_t^2)."""
+
+    mu: float
+    S: float
+    alpha: jnp.ndarray
+    sigma: jnp.ndarray
+
+    @nn.compact
+    def __call__(self, x, t, emb=None, train=False):
+        a = self.alpha[t][:, None]
+        s = self.sigma[t][:, None]
+        return s * (x - a * self.mu) / (a**2 * self.S**2 + s**2)
+
+
+@pytest.mark.parametrize("solver", ["ddpm", "sde_dpmsolver++_1", "ddim"])
+def test_stochastic_solvers_match_analytic_gaussian(solver):
+    """With the exact score of N(mu, S^2), every solver must produce samples
+    whose mean/std match the target distribution (SDE solvers incl. their
+    noise-injection terms)."""
+    mu, S = 1.5, 0.7
+    tmp = DiscreteDiffusionSDE(DQLMlp(obs_dim=5, act_dim=1), diffusion_steps=128,
+                               noise_schedule="linear")
+    oracle = GaussianOracle(mu=mu, S=S, alpha=tmp.alpha, sigma=tmp.sigma)
+    engine = DiscreteDiffusionSDE(oracle, diffusion_steps=128, noise_schedule="linear")
+    engine.init(jnp.zeros((4, 1)))
+    out, _ = engine.sample(jnp.zeros((4096, 1)), solver=solver, sample_steps=64)
+    samples = np.asarray(out)[:, 0]
+    assert abs(samples.mean() - mu) < 0.08, f"mean {samples.mean()} != {mu}"
+    assert abs(samples.std() - S) < 0.08, f"std {samples.std()} != {S}"

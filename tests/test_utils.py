@@ -160,3 +160,30 @@ def test_iql_update_runs():
     assert np.isfinite(lv) and np.isfinite(lq)
     assert iql.v(obs).shape == (8, 1)
     assert iql.q(obs, act).shape == (8, 1)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    mlp = Mlp(hidden_dims=(8,), out_dim=2)
+    params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    tx = make_optimizer(lr=1e-3)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    from cleandiffuser_tpu.utils.train_state import load_state_orbax, save_state
+
+    p = str(tmp_path / "orbax_ckpt")
+    save_state(state, p, backend="orbax")
+    restored = load_state_orbax(p, state)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_profiling_utils(tmp_path):
+    from cleandiffuser_tpu.utils.profiling import Throughput, annotate, trace
+
+    meter = Throughput()
+    r = meter.update(100)
+    assert r > 0
+    with annotate("test-region"):
+        pass
+    with trace(str(tmp_path / "prof")):
+        jnp.ones(8).sum().block_until_ready()
