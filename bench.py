@@ -69,11 +69,12 @@ def round_trip_floor():
 
 
 def bench_planner(name, nn_diffusion, x_shape, batch, steps, repeat=10,
-                  floor=0.0, cond_dim=None):
+                  floor=0.0, cond_dim=None, bf16=False):
     """Throughput of a trajectory-planner sampling program (plans/sec)."""
     from cleandiffuser_tpu.diffusion import DiscreteDiffusionSDE
 
     engine = DiscreteDiffusionSDE(nn_diffusion, diffusion_steps=steps, rng=0)
+    engine.bf16_sampling = bf16
     prior = jnp.zeros((batch,) + x_shape)
     engine.init(prior)
     sample_fn = engine.build_sample_fn(
@@ -173,6 +174,14 @@ def main():
                 "diffuser_janner_h32",
                 JannerUNet1d(in_dim=23, model_dim=32, emb_dim=32, kernel_size=5),
                 (32, 23), batch=50 * 64, steps=20, repeat=5, floor=floor,
+            )
+        )
+        planner_detail.update(
+            bench_planner(
+                "diffuser_janner_h32_bf16",
+                JannerUNet1d(in_dim=23, model_dim=32, emb_dim=32, kernel_size=5),
+                (32, 23), batch=50 * 64, steps=20, repeat=5, floor=floor,
+                bf16=True,
             )
         )
         planner_detail.update(

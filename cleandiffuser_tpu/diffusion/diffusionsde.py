@@ -147,19 +147,31 @@ class BaseDiffusionSDE(DiffusionModel):
         cfg_mode: str,
         use_cg: bool,
     ):
-        """CFG then CG (reference diffusionsde.py:153-241)."""
+        """CFG then CG (reference diffusionsde.py:153-241).
+
+        When `self.bf16_sampling` is set, the network forward runs in
+        bfloat16 (params are pre-cast by the sampler; inputs cast here,
+        prediction cast back) — solver math stays float32.
+        """
         b = xt.shape[0]
+        cdt = jnp.bfloat16 if getattr(self, "bf16_sampling", False) else None
+        xt_c = xt.astype(cdt) if cdt else xt
+        emb_c = (
+            jax.tree_util.tree_map(lambda e: e.astype(cdt), emb)
+            if (cdt and emb is not None)
+            else emb
+        )
         if cfg_mode == "mix":
-            xt2 = jnp.concatenate([xt, xt], axis=0)
+            xt2 = jnp.concatenate([xt_c, xt_c], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
-            emb2 = _tree_cat2(emb)
-            pred_all = self.apply_diffusion(params, xt2, t2, emb2)
+            emb2 = _tree_cat2(emb_c)
+            pred_all = self.apply_diffusion(params, xt2, t2, emb2).astype(jnp.float32)
             pred, pred_uncond = pred_all[:b], pred_all[b:]
             bar_pred = w_cfg * pred + (1 - w_cfg) * pred_uncond
         elif cfg_mode == "cond":
-            bar_pred = self.apply_diffusion(params, xt, t, emb)
+            bar_pred = self.apply_diffusion(params, xt_c, t, emb_c).astype(jnp.float32)
         else:  # "uncond"
-            bar_pred = self.apply_diffusion(params, xt, t, None)
+            bar_pred = self.apply_diffusion(params, xt_c, t, None).astype(jnp.float32)
 
         if use_cg:
             _, grad = self.classifier.gradients(cls_params, xt, t, condition_cg)
@@ -244,6 +256,12 @@ class BaseDiffusionSDE(DiffusionModel):
             temperature: float = 1.0,
             warm_reference=None,
         ):
+            if getattr(self, "bf16_sampling", False):
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                    params,
+                )
             k_init, k_scan = jax.random.split(rng)
             if warm_start and warm_reference is not None:
                 fwd_alpha, fwd_sigma = self._forward_level(warm_start_forward_level)

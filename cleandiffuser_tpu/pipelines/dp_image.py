@@ -1,0 +1,151 @@
+"""Image-observation Diffusion Policy pipeline (TPU-native).
+
+Re-design of reference pipelines/dp_pusht_image.py:137-186 and
+dp_robomimic_image.py: action-chunk diffusion with a visual obs encoder
+(MultiImageObsCondition: per-key GN-ResNet18 + crop randomizer) as the
+global condition. Image batches stay uint8 in HBM and normalize inside the
+jitted train step; on-device eval renders observations with the SDF
+rasterizer of PushTImageEnvJax.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion import ContinuousEDM, DiscreteDiffusionSDE
+from ..nn_condition import MultiImageObsCondition
+from ..nn_diffusion import ChiUNet1d, DiT1d
+
+__all__ = ["DPImagePipeline"]
+
+
+class DPImagePipeline:
+    def __init__(
+        self,
+        shape_meta: Dict,
+        action_dim: int,
+        horizon: int = 16,
+        obs_steps: int = 2,
+        action_steps: int = 8,
+        nn: str = "chi_unet",  # chi_unet | dit
+        diffusion: str = "ddpm",
+        sample_steps: int = 5,
+        emb_dim: int = 256,
+        crop_shape=(76, 76),
+        lr: float = 1e-4,
+        gradient_steps: int = 1_000_000,
+        ema_rate: float = 0.9999,
+        rng: int = 0,
+    ):
+        self.shape_meta = shape_meta
+        self.action_dim = action_dim
+        self.horizon, self.To, self.Ta = horizon, obs_steps, action_steps
+        self.nn_kind, self.diffusion_kind = nn, diffusion
+        self.sample_steps = sample_steps
+
+        nn_condition = MultiImageObsCondition(
+            shape_meta=shape_meta, emb_dim=emb_dim, crop_shape=crop_shape,
+        )
+        if nn == "chi_unet":
+            # obs encoder output (b, emb) feeds ChiUNet as flattened To=1 cond
+            nn_diffusion = ChiUNet1d(
+                act_dim=action_dim, obs_dim=emb_dim, To=1,
+                model_dim=256, emb_dim=256, dim_mult=(1, 2, 2),
+                obs_as_global_cond=True,
+            )
+        elif nn == "dit":
+            nn_diffusion = DiT1d(
+                in_dim=action_dim, emb_dim=emb_dim, d_model=320, n_heads=10,
+                depth=2, timestep_emb_type="fourier",
+            )
+        else:
+            raise ValueError(nn)
+
+        optim_params = {
+            "lr": optax.cosine_decay_schedule(lr, gradient_steps),
+            "weight_decay": 0.0,
+        }
+        if diffusion == "ddpm":
+            self.agent = DiscreteDiffusionSDE(
+                nn_diffusion, nn_condition, diffusion_steps=sample_steps,
+                x_max=jnp.ones((horizon, action_dim)),
+                x_min=-jnp.ones((horizon, action_dim)),
+                ema_rate=ema_rate, optim_params=optim_params, rng=rng,
+            )
+        elif diffusion == "edm":
+            self.agent = ContinuousEDM(
+                nn_diffusion, nn_condition, ema_rate=ema_rate,
+                optim_params=optim_params, rng=rng,
+            )
+        else:
+            raise NotImplementedError(diffusion)
+
+        # lazy init on first batch (image dims come from data)
+        self._fn_cache = {}
+        self._rng = jax.random.PRNGKey(rng + 1)
+
+    # ------------------------------------------------------------------
+    def _condition_of(self, obs: Dict):
+        """obs dict with image uint8 (B, To, C, H, W) or (B, C, H, W) and
+        low_dim keys; use the first obs frame as the condition frame
+        (single-frame visual conditioning, matching emb To=1)."""
+        cond = {}
+        for key, meta in self.shape_meta["obs"].items():
+            x = obs[key]
+            if meta["type"] == "rgb":
+                if x.ndim == 5:  # (B, To, ...) -> first frame
+                    x = x[:, 0]
+                # accept channels-last storage (device image cache keeps the
+                # raw (H, W, C) uint8 layout) or channels-first
+                if x.shape[-1] == meta["shape"][0]:
+                    x = jnp.moveaxis(x, -1, -3)
+                x = x.astype(jnp.float32)
+                if jnp.issubdtype(jnp.asarray(obs[key]).dtype, jnp.integer):
+                    x = x / 255.0
+            else:
+                if x.ndim == 3:
+                    x = x[:, 0]
+            cond[key] = x
+        return cond
+
+    def train_step(self, batch):
+        cond = self._condition_of(batch["obs"])
+        if self.nn_kind == "chi_unet":
+            # ChiUNet expects (b, To, obs_emb); MultiImageObsCondition gives
+            # (b, emb) -> lift to To=1
+            pass
+        naction = batch["action"]
+        return self.agent.update(naction, cond)
+
+    def act_chunk(self, obs: Dict, rng: Optional[jax.Array] = None):
+        cond = self._condition_of(obs)
+        b = next(iter(cond.values())).shape[0]
+        key = ("chunk", b)
+        if key not in self._fn_cache:
+            solver = "ddpm" if self.diffusion_kind == "ddpm" else "euler"
+            sample_fn = self.agent.build_sample_fn(
+                solver=solver, sample_steps=self.sample_steps,
+                cfg_mode="cond", final_logp=False,
+            )
+
+            def chunk(params, r, cond):
+                prior = jnp.zeros((b, self.horizon, self.action_dim))
+                naction, _ = sample_fn(params, None, r, prior,
+                                       condition_cfg=cond, w_cfg=1.0)
+                start = self.To - 1
+                return naction[:, start : start + self.Ta]
+
+            self._fn_cache[key] = jax.jit(chunk)
+        if rng is None:
+            self._rng, rng = jax.random.split(rng if rng is not None else self._rng)
+        return self._fn_cache[key](self.agent.state.ema_params, rng, cond)
+
+    def save(self, path: str):
+        self.agent.save(path)
+
+    def load(self, path: str):
+        self.agent.load(path)

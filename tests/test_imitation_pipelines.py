@@ -79,3 +79,30 @@ def test_dbc_diffusion_x(pusht_ds):
     pipe.train_step(batch)
     act = pipe.act(np.asarray(batch["obs"]["state"][:2, :2]))
     assert np.all(np.isfinite(np.asarray(act)))
+
+
+def test_dp_image_pipeline():
+    from cleandiffuser_tpu.dataset import PushTImageDataset
+    from cleandiffuser_tpu.pipelines.dp_image import DPImagePipeline
+
+    rb = generate_pusht_demos(n_episodes=2, max_steps=20, with_images=True,
+                              image_size=96)
+    ds = PushTImageDataset(rb, horizon=8, pad_before=1, pad_after=3)
+    shape_meta = {
+        "obs": {
+            "image": {"shape": [3, 96, 96], "type": "rgb"},
+            "agent_pos": {"shape": [2], "type": "low_dim"},
+        }
+    }
+    pipe = DPImagePipeline(
+        shape_meta=shape_meta, action_dim=2, horizon=8, obs_steps=2,
+        action_steps=4, nn="chi_unet", diffusion="ddpm", sample_steps=2,
+        emb_dim=64, crop_shape=(76, 76), gradient_steps=100,
+    )
+    batch = ds.sample_batch(jax.random.PRNGKey(0), 4)
+    # adapt: dataset serves (B, L, C/H/W...) uint8 images + agent_pos
+    obs = {"image": batch["obs"]["image"], "agent_pos": batch["obs"]["agent_pos"]}
+    log = pipe.train_step({"obs": obs, "action": batch["action"]})
+    assert np.isfinite(log["loss"])
+    chunk = pipe.act_chunk(obs)
+    assert chunk.shape == (4, 4, 2)
