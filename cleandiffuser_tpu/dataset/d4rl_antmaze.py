@@ -212,6 +212,7 @@ class MultiHorizonD4RLAntmazeDataset(BaseDataset):
         self.horizons = tuple(horizons)
         self.o_dim, self.a_dim = base.o_dim, base.a_dim
         self.seq_obs, self.seq_act, self.seq_val = base.seq_obs, base.seq_act, base.seq_val
+        self.seq_rew = base.seq_rew
         self.path_lengths = base.path_lengths
 
         self.indices = []
@@ -273,6 +274,8 @@ class DV_D4RLAntmazeSeqDataset(BaseDataset):
         center_mapping: bool = True,
         reward_tune: str = "iql",
         stride: int = 1,
+        continous_reward_at_done: bool = False,
+        learn_policy: bool = False,
     ):
         observations, actions, rewards, timeouts, terminals = (
             dataset["observations"].astype(np.float32),
@@ -283,6 +286,7 @@ class DV_D4RLAntmazeSeqDataset(BaseDataset):
         )
         rewards = tune_reward(rewards, reward_tune)
         self.stride = stride
+        self.learn_policy = learn_policy
         self.normalizers = {"state": GaussianNormalizer(observations, start_dim=1)}
         self.horizon = horizon
         self.o_dim, self.a_dim = observations.shape[-1], actions.shape[-1]
@@ -291,6 +295,16 @@ class DV_D4RLAntmazeSeqDataset(BaseDataset):
             observations, actions, rewards, timeouts, terminals,
             max_path_length, 0.0, self.normalizers["state"],
         )
+
+        # padding reward past episode end: the tuned success reward when the
+        # episode "keeps succeeding" after done, else the tuned step reward
+        # (reference d4rl_antmaze_dataset.py:371-440 continous_reward_at_done)
+        pad_rew = 1.0 if continous_reward_at_done else 0.0
+        pad_rew = float(tune_reward(np.array([pad_rew], np.float32), reward_tune)[0])
+        if pad_rew != 0.0:
+            for p, plen in enumerate(self.path_lengths):
+                if plen < max_path_length:
+                    self.seq_rew[p, plen:] = pad_rew
 
         indices = []
         for path_idx, plen in enumerate(self.path_lengths):

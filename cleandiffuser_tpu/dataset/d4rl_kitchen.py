@@ -177,6 +177,7 @@ class MultiHorizonD4RLKitchenDataset(BaseDataset):
         self.horizons = tuple(horizons)
         self.o_dim, self.a_dim = base.o_dim, base.a_dim
         self.seq_obs, self.seq_act, self.seq_val = base.seq_obs, base.seq_act, base.seq_val
+        self.seq_rew = base.seq_rew
         self.path_lengths = base.path_lengths
 
         self.indices = []

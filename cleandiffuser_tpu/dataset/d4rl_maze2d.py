@@ -90,6 +90,14 @@ class DV_D4RLMaze2DSeqDataset(BaseDataset):
                 add_path(path_start, path_end)
                 path_start = next_start[path_end]
                 path_end = next_end[path_start] if path_start != -1 else -1
+            if not seq_obs:
+                # no reward==1 goal events in the data (e.g. hermetic
+                # synthetic fallback) — chunk fixed-length instead
+                print("[DV_D4RLMaze2DSeqDataset] no goal-reaching segments "
+                      "found; falling back to fixed-length chunking")
+                for path_start in range(0, N - 1, max_path_length):
+                    path_end = min(path_start + max_path_length - 1, N - 1)
+                    add_path(path_start, path_end)
 
         self.seq_obs = np.array(seq_obs, np.float32)
         self.seq_act = np.array(seq_act, np.float32)

@@ -35,6 +35,7 @@ FAKE_ENV_SPECS = {
     "antmaze-large-diverse-v2": (29, 8),
     "kitchen-partial-v0": (60, 9),
     "kitchen-mixed-v0": (60, 9),
+    "maze2d-umaze-v1": (4, 2),
     "maze2d-medium-v1": (4, 2),
     "maze2d-large-v1": (4, 2),
 }
@@ -79,8 +80,17 @@ def fake_d4rl_dataset(
 ) -> Dict[str, np.ndarray]:
     """Schema of `env.get_dataset()`."""
     o_dim, a_dim = FAKE_ENV_SPECS.get(env_name, (17, 6))
+    # respect the benchmark's max episode length (kitchen datasets assume
+    # paths <= 280, maze2d <= 300; see dataset/d4rl_kitchen.py:69)
+    if env_name.startswith("kitchen"):
+        ep_len = min(ep_len, 250)
+    elif env_name.startswith("maze2d"):
+        ep_len = min(ep_len, 280)
     rng = np.random.default_rng(seed)
     obs, act, rew, timeouts, terminals = _rollout(rng, o_dim, a_dim, n_steps, ep_len)
+    if env_name.startswith(("antmaze", "maze2d")):
+        # sparse goal-reaching reward in {0, 1} like the real datasets
+        rew = (rew >= np.quantile(rew, 0.99)).astype(np.float32)
     return {
         "observations": obs,
         "actions": act,
@@ -105,3 +115,31 @@ def fake_d4rl_qlearning_dataset(
         "rewards": d["rewards"][:-1],
         "terminals": d["terminals"][:-1].astype(np.float32),
     }
+
+
+def fake_robomimic_buffer(
+    obs_dim: int = 19,
+    act_dim: int = 7,
+    n_episodes: int = 4,
+    ep_len: int = 60,
+    image_keys=(),
+    image_size: int = 84,
+    seed: int = 0,
+):
+    """Synthetic robomimic-demo ReplayBuffer for hermetic CLI runs (the real
+    pipelines expect robomimic hdf5 demos; reference requires downloads)."""
+    from .replay_buffer import ReplayBuffer
+
+    rng = np.random.default_rng(seed)
+    rb = ReplayBuffer.create_empty_numpy()
+    for _ in range(n_episodes):
+        ep = {
+            "obs": rng.standard_normal((ep_len, obs_dim)).astype(np.float32),
+            "action": rng.uniform(-1, 1, (ep_len, act_dim)).astype(np.float32),
+        }
+        for k in image_keys:
+            ep[k] = rng.integers(
+                0, 256, (ep_len, image_size, image_size, 3), dtype=np.uint8
+            )
+        rb.add_episode(ep)
+    return rb

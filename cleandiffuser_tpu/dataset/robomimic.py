@@ -169,6 +169,19 @@ class RobomimicImageDataset(RobomimicDataset):
         norm["obs"]["image"] = ImageNormalizer()
         return norm
 
+    def _device_arrays(self):
+        import jax.numpy as jnp
+
+        out = super()._device_arrays()
+        for k in self.image_keys:
+            img = self.replay_buffer[k]
+            if img.dtype != np.uint8:
+                img = np.clip(img * 255.0 if img.max() <= 1.0 else img,
+                              0, 255).astype(np.uint8)
+            # uint8 channels-last on device; consumers normalize lazily
+            out["obs"][k] = jnp.asarray(img)
+        return out
+
     def __getitem__(self, idx):
         sample = self.sampler.sample_sequence(idx)
         out = {

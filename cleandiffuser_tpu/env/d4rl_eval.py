@@ -1,0 +1,141 @@
+"""d4rl-compatible eval environments built on gymnasium_robotics.
+
+The reference evaluates antmaze/kitchen/maze2d policies on the original
+d4rl envs (mujoco_py). Those are unavailable here; gymnasium_robotics
+ships MuJoCo-3 reimplementations (AntMaze_*-v5, PointMaze_*-v3,
+FrankaKitchen-v1) with *dict* observations. These wrappers flatten the
+dict back to the d4rl observation layout so the trained normalizers and
+policies apply unchanged:
+
+- antmaze: d4rl obs = [xy (2) | qpos[2:] + qvel (27)] = 29 dims; the
+  gymnasium dict gives `achieved_goal` = xy and `observation` = the 27.
+- maze2d: d4rl obs = [qpos (2) | qvel (2)] = 4 dims = the gymnasium
+  `observation` vector directly.
+- kitchen: handled by env/kitchen.py KitchenLowdimWrapper.
+
+Reward semantics follow the d4rl sparse convention (1 at goal for
+antmaze/maze2d reach, per-subtask for kitchen).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["AntMazeD4RLWrapper", "PointMazeD4RLWrapper",
+           "make_antmaze_env", "make_maze2d_env",
+           "ANTMAZE_GYM_IDS", "MAZE2D_GYM_IDS"]
+
+# d4rl env-name -> gymnasium_robotics id. "play" maps to the fixed-goal
+# layout, "diverse" to the diverse-goal (`Diverse_G`) layout.
+ANTMAZE_GYM_IDS = {
+    "antmaze-umaze-v2": "AntMaze_UMaze-v5",
+    "antmaze-umaze-diverse-v2": "AntMaze_UMaze-v5",
+    "antmaze-medium-play-v2": "AntMaze_Medium-v5",
+    "antmaze-medium-diverse-v2": "AntMaze_Medium_Diverse_G-v5",
+    "antmaze-large-play-v2": "AntMaze_Large-v5",
+    "antmaze-large-diverse-v2": "AntMaze_Large_Diverse_G-v5",
+}
+
+MAZE2D_GYM_IDS = {
+    "maze2d-umaze-v1": "PointMaze_UMaze-v3",
+    "maze2d-medium-v1": "PointMaze_Medium-v3",
+    "maze2d-large-v1": "PointMaze_Large-v3",
+}
+
+
+class _FlattenGoalEnv:
+    """Common plumbing: flatten a goal-env dict obs to a d4rl vector."""
+
+    def __init__(self, env):
+        self.env = env
+
+    def _flatten(self, obs_dict) -> np.ndarray:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def reset(self, **kwargs):
+        obs, info = self.env.reset(**kwargs)
+        return self._flatten(obs), info
+
+    def step(self, action):
+        obs, rew, term, trunc, info = self.env.step(action)
+        return self._flatten(obs), float(rew), term, trunc, info
+
+    def render(self):
+        return self.env.render()
+
+    @property
+    def action_space(self):
+        return self.env.action_space
+
+    @property
+    def observation_space(self):
+        import gymnasium as gym
+
+        space = self.env.observation_space
+        dims = sum(int(np.prod(space[k].shape)) for k in self._obs_keys)
+        return gym.spaces.Box(-np.inf, np.inf, shape=(dims,), dtype=np.float32)
+
+    def close(self):
+        self.env.close()
+
+
+class AntMazeD4RLWrapper(_FlattenGoalEnv):
+    """obs = [achieved_goal (xy, 2) | observation[:27] (qpos[2:] + qvel)]
+    = d4rl's 29 dims. gymnasium's Ant-v5 observation appends 78 cfrc_ext
+    contact-force dims that the d4rl layout (and the trained normalizers)
+    never had — sliced off here."""
+
+    _obs_keys = ("achieved_goal", "observation")
+
+    def _flatten(self, obs_dict) -> np.ndarray:
+        return np.concatenate(
+            [np.ravel(obs_dict["achieved_goal"]),
+             np.ravel(obs_dict["observation"])[:27]]
+        ).astype(np.float32)
+
+    @property
+    def observation_space(self):
+        import gymnasium as gym
+
+        return gym.spaces.Box(-np.inf, np.inf, shape=(29,), dtype=np.float32)
+
+
+class PointMazeD4RLWrapper(_FlattenGoalEnv):
+    """obs = observation (4: qpos, qvel) = d4rl's maze2d layout; the goal
+    xy (needed by goal-reaching planners) is exposed via `.goal`."""
+
+    _obs_keys = ("observation",)
+
+    def __init__(self, env):
+        super().__init__(env)
+        self.goal = np.zeros(2, dtype=np.float32)
+
+    def _flatten(self, obs_dict) -> np.ndarray:
+        self.goal = np.asarray(obs_dict["desired_goal"], dtype=np.float32)
+        return np.ravel(obs_dict["observation"]).astype(np.float32)
+
+
+def make_antmaze_env(env_name: str, render_mode=None):
+    import gymnasium as gym
+    import gymnasium_robotics  # noqa: F401
+
+    gym.register_envs(gymnasium_robotics)
+    gid = ANTMAZE_GYM_IDS.get(env_name)
+    if gid is None:
+        raise ValueError(f"no gymnasium mapping for {env_name}")
+    return AntMazeD4RLWrapper(
+        gym.make(gid, continuing_task=False, render_mode=render_mode)
+    )
+
+
+def make_maze2d_env(env_name: str, render_mode=None):
+    import gymnasium as gym
+    import gymnasium_robotics  # noqa: F401
+
+    gym.register_envs(gymnasium_robotics)
+    gid = MAZE2D_GYM_IDS.get(env_name)
+    if gid is None:
+        raise ValueError(f"no gymnasium mapping for {env_name}")
+    return PointMazeD4RLWrapper(
+        gym.make(gid, continuing_task=False, render_mode=render_mode)
+    )

@@ -33,9 +33,13 @@ _GR_TASK_NAMES = {
 
 
 class KitchenLowdimWrapper:
-    """Flattens FrankaKitchen dict obs to the reference's low-dim layout:
-    [robot qpos (9) | object qpos (21) | goal (21)] = 51 dims (the v0
-    dataset uses 60 incl. padding; downstream normalizers adapt)."""
+    """Flattens FrankaKitchen dict obs to the d4rl/relay-policy layout:
+    [robot qpos (9) | object qpos (21) | full goal qpos (30)] = 60 dims.
+
+    gymnasium's `observation` is [robot qpos 9 | robot qvel 9 | obj qpos 21
+    | obj qvel 20]; the velocities are dropped and the per-task desired_goal
+    dict is scattered into a full 30-dim goal config vector (the d4rl goal
+    block is the desired full qpos, zero for untargeted elements)."""
 
     def __init__(self, env, tasks: Optional[Sequence[str]] = None):
         self.env = env
@@ -43,13 +47,18 @@ class KitchenLowdimWrapper:
 
     @staticmethod
     def _flatten(obs_dict) -> np.ndarray:
-        o = obs_dict["observation"]
-        goal = obs_dict.get("desired_goal", {})
-        if isinstance(goal, dict):
-            goal_vec = np.concatenate([np.ravel(v) for v in goal.values()]) if goal else np.zeros(0)
-        else:
-            goal_vec = np.ravel(goal)
-        return np.concatenate([np.ravel(o), goal_vec]).astype(np.float32)
+        from gymnasium_robotics.envs.franka_kitchen.kitchen_env import (
+            OBS_ELEMENT_INDICES,
+        )
+
+        o = np.ravel(obs_dict["observation"])
+        qp, obj_qp = o[:9], o[18:39]
+        goal = np.zeros(30, np.float32)
+        desired = obs_dict.get("desired_goal", {})
+        if isinstance(desired, dict):
+            for task, val in desired.items():
+                goal[np.asarray(OBS_ELEMENT_INDICES[task])] = np.ravel(val)
+        return np.concatenate([qp, obj_qp, goal]).astype(np.float32)
 
     def reset(self, **kwargs):
         obs, info = self.env.reset(**kwargs)
@@ -84,6 +93,7 @@ def make_kitchen_env(tasks: Optional[Sequence[str]] = None, render_mode=None,
     import gymnasium_robotics  # noqa: F401  (registers FrankaKitchen-v1)
 
     tasks = list(tasks) if tasks is not None else ["microwave", "kettle"]
-    gr_tasks = [_GR_TASK_NAMES[t].replace(" ", "_") for t in tasks]
+    # gymnasium_robotics goal keys keep the spaces ("bottom burner")
+    gr_tasks = [_GR_TASK_NAMES[t] for t in tasks]
     env = gym.make("FrankaKitchen-v1", tasks_to_complete=gr_tasks, render_mode=render_mode)
     return KitchenLowdimWrapper(env, tasks)

@@ -222,3 +222,46 @@ def make_sync_vector_env(env_fns: Sequence[Callable]):
     """Vectorized env helper (reference uses gym.vector.SyncVectorEnv /
     a vendored AsyncVectorEnv, env/async_vector_env.py:43)."""
     return gym.vector.SyncVectorEnv(list(env_fns))
+
+
+class DuckSyncVectorEnv:
+    """Synchronous vector env over duck-typed envs.
+
+    gymnasium's SyncVectorEnv requires `gym.Env` subclasses; our d4rl-layout
+    flattening wrappers (env/d4rl_eval.py, env/kitchen.py) are plain objects
+    implementing reset/step/close. This mirrors the gymnasium semantics the
+    eval loops rely on: batched obs/rew/term/trunc and autoreset on done.
+    """
+
+    def __init__(self, env_fns: Sequence[Callable]):
+        self.envs = [fn() for fn in env_fns]
+        self.num_envs = len(self.envs)
+        self.action_space = self.envs[0].action_space
+        self.observation_space = self.envs[0].observation_space
+
+    def reset(self, seed=None, **kwargs):
+        obs, infos = [], []
+        for i, env in enumerate(self.envs):
+            s = None if seed is None else seed + i
+            o, info = env.reset(seed=s, **kwargs)
+            obs.append(o)
+            infos.append(info)
+        return np.stack(obs), infos
+
+    def step(self, actions):
+        obs, rews, terms, truncs, infos = [], [], [], [], []
+        for env, act in zip(self.envs, np.asarray(actions)):
+            o, r, te, tr, info = env.step(act)
+            if te or tr:
+                o, _ = env.reset()
+            obs.append(o)
+            rews.append(r)
+            terms.append(te)
+            truncs.append(tr)
+            infos.append(info)
+        return (np.stack(obs), np.asarray(rews, dtype=np.float64),
+                np.asarray(terms), np.asarray(truncs), infos)
+
+    def close(self):
+        for env in self.envs:
+            env.close()

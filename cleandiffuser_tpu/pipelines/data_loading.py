@@ -25,11 +25,17 @@ __all__ = ["load_d4rl_dataset", "load_d4rl_qlearning_dataset", "get_normalized_s
 DATA_DIR = Path(os.environ.get("CLEANDIFFUSER_DATA", "dev/d4rl"))
 
 # d4rl reference min/max scores for normalized-score computation
-# (gym d4rl infos.py values for the locomotion suite)
+# (gym d4rl infos.py values; longest-prefix match wins)
 D4RL_SCORE_RANGES = {
     "halfcheetah": (-280.178953, 12135.0),
     "hopper": (-20.272305, 3234.3),
     "walker2d": (1.629008, 4592.3),
+    # sparse-reward suites: score is (clipped) task-completion count
+    "antmaze": (0.0, 1.0),
+    "kitchen": (0.0, 4.0),
+    "maze2d-umaze": (23.85, 161.86),
+    "maze2d-medium": (13.13, 277.39),
+    "maze2d-large": (6.7, 273.99),
 }
 
 
@@ -73,16 +79,39 @@ def load_d4rl_qlearning_dataset(env_name: str) -> Dict[str, np.ndarray]:
 
 
 def get_normalized_score_fn(env_name: str):
-    """d4rl normalized score; falls back to identity scaling."""
-    for prefix, (lo, hi) in D4RL_SCORE_RANGES.items():
-        if env_name.startswith(prefix):
-            return lambda ret: (ret - lo) / (hi - lo)
+    """d4rl normalized score; longest-prefix match, identity fallback."""
+    best = None
+    for prefix, rng in D4RL_SCORE_RANGES.items():
+        if env_name.startswith(prefix) and (best is None or len(prefix) > len(best[0])):
+            best = (prefix, rng)
+    if best is not None:
+        lo, hi = best[1]
+        return lambda ret: (ret - lo) / (hi - lo)
     return lambda ret: ret
 
 
 def make_eval_env_fns(env_name: str, num_envs: int):
-    """gymnasium eval envs approximating the d4rl task (v5 MuJoCo)."""
+    """gymnasium eval env thunks approximating the d4rl task.
+
+    Locomotion maps to the v5 MuJoCo envs; antmaze/maze2d/kitchen map to
+    the gymnasium_robotics reimplementations via d4rl-layout flattening
+    wrappers (env/d4rl_eval.py, env/kitchen.py)."""
     import gymnasium as gym
+
+    if env_name.startswith("antmaze"):
+        from ..env.d4rl_eval import make_antmaze_env
+
+        return [(lambda: make_antmaze_env(env_name)) for _ in range(num_envs)]
+    if env_name.startswith("maze2d"):
+        from ..env.d4rl_eval import make_maze2d_env
+
+        return [(lambda: make_maze2d_env(env_name)) for _ in range(num_envs)]
+    if env_name.startswith("kitchen"):
+        from ..env.kitchen import ALL_KITCHEN_TASKS, make_kitchen_env
+
+        # mixed/partial datasets both evaluate on the 4-subtask goal set
+        tasks = ["microwave", "kettle", "bottom burner", "light switch"]
+        return [(lambda: make_kitchen_env(tasks)) for _ in range(num_envs)]
 
     GYM_NAME = {
         "halfcheetah": "HalfCheetah-v5",

@@ -1,0 +1,136 @@
+"""DiffusionBC with image observations (TPU-native).
+
+Re-design of reference pipelines/dbc_pusht_image.py:113-260 and
+dbc_robomimic_image.py: Pearce MLP/Transformer action head conditioned on a
+MultiImageObsCondition (GN-ResNet18 per camera + low_dim concat) over the
+To-frame obs window, trained with DDPM/EDM and sampled with optional
+diffusion-x extra steps. The per-step action sampling (vision encoder +
+k-step denoise scan) compiles into ONE jitted program per batch size.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion import ContinuousEDM, DiscreteDiffusionSDE
+from ..nn_condition import MultiImageObsCondition
+from ..nn_diffusion import PearceMlp, PearceTransformer
+
+__all__ = ["DBCImagePipeline"]
+
+
+class DBCImagePipeline:
+    def __init__(
+        self,
+        shape_meta: Dict,
+        action_dim: int,
+        obs_steps: int = 2,
+        nn: str = "pearce_mlp",
+        diffusion: str = "ddpm",
+        emb_dim: int = 128,
+        sample_steps: int = 50,
+        diffusion_x_sampling_steps: int = 0,
+        crop_shape=(84, 84),
+        lr: float = 1e-3,
+        gradient_steps: int = 1_000_000,
+        ema_rate: float = 0.9999,
+        rng: int = 0,
+    ):
+        self.shape_meta = shape_meta
+        self.action_dim, self.To = action_dim, obs_steps
+        self.diffusion_kind = diffusion
+        self.sample_steps = sample_steps
+        self.x_steps = diffusion_x_sampling_steps
+
+        if nn == "pearce_mlp":
+            nn_diffusion = PearceMlp(act_dim=action_dim, To=obs_steps, emb_dim=emb_dim)
+        elif nn == "pearce_transformer":
+            nn_diffusion = PearceTransformer(act_dim=action_dim, To=obs_steps,
+                                             emb_dim=emb_dim)
+        else:
+            raise ValueError(f"Invalid nn type {nn}")
+        nn_condition = MultiImageObsCondition(
+            shape_meta=shape_meta, emb_dim=emb_dim, crop_shape=crop_shape,
+            use_seq=True, keep_horizon_dims=True,
+        )
+
+        optim_params = {
+            "lr": optax.cosine_decay_schedule(lr, gradient_steps),
+            "weight_decay": 0.0,
+        }
+        if diffusion in ("ddpm", "ddim"):
+            self.agent = DiscreteDiffusionSDE(
+                nn_diffusion, nn_condition,
+                diffusion_steps=sample_steps,
+                x_max=jnp.ones((action_dim,)),
+                x_min=-jnp.ones((action_dim,)),
+                ema_rate=ema_rate, optim_params=optim_params, rng=rng,
+            )
+        elif diffusion == "edm":
+            self.agent = ContinuousEDM(
+                nn_diffusion, nn_condition, ema_rate=ema_rate,
+                optim_params=optim_params, rng=rng,
+            )
+        else:
+            raise NotImplementedError(diffusion)
+
+        ex_cond = {}
+        for key, meta in shape_meta["obs"].items():
+            shp = tuple(meta["shape"])
+            ex_cond[key] = jnp.zeros((1, obs_steps) + shp, jnp.float32)
+        self.agent.init(jnp.zeros((1, action_dim)), ex_cond)
+        self._fn_cache = {}
+        self._rng = jax.random.PRNGKey(rng + 1)
+
+    # ------------------------------------------------------------------
+    def _condition_of(self, obs: Dict):
+        """obs: dict of (B, T>=To, ...) arrays; keep the first To frames,
+        normalize uint8/channels-last images to float CHW."""
+        cond = {}
+        for key, meta in self.shape_meta["obs"].items():
+            x = jnp.asarray(obs[key])[:, : self.To]
+            if meta["type"] == "rgb":
+                if x.shape[-1] == meta["shape"][0]:  # channels-last storage
+                    x = jnp.moveaxis(x, -1, -3)
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    x = x.astype(jnp.float32) / 255.0
+                x = x.astype(jnp.float32)
+            cond[key] = x
+        return cond
+
+    def train_step(self, batch):
+        cond = self._condition_of(batch["obs"])
+        naction = batch["action"][:, self.To - 1]
+        return self.agent.update(naction, cond)
+
+    def act(self, obs: Dict, rng: Optional[jax.Array] = None):
+        cond = self._condition_of(obs)
+        b = next(iter(cond.values())).shape[0]
+        if b not in self._fn_cache:
+            solver = "ddim" if self.diffusion_kind == "ddim" else (
+                "euler" if self.diffusion_kind == "edm" else "ddpm"
+            )
+            sample_fn = self.agent.build_sample_fn(
+                solver=solver, sample_steps=self.sample_steps, cfg_mode="cond",
+                diffusion_x_sampling_steps=self.x_steps, final_logp=False,
+            )
+
+            def act_fn(params, r, cond):
+                prior = jnp.zeros((b, self.action_dim))
+                a, _ = sample_fn(params, None, r, prior, condition_cfg=cond, w_cfg=1.0)
+                return a
+
+            self._fn_cache[b] = jax.jit(act_fn)
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
+        return self._fn_cache[b](self.agent.state.ema_params, rng, cond)
+
+    def save(self, path: str):
+        self.agent.save(path)
+
+    def load(self, path: str):
+        self.agent.load(path)

@@ -52,10 +52,13 @@ class DDPipeline:
         w_cfg: float = 1.2,
         target_return: float = 0.9,
         temperature: float = 0.5,
+        val_shift: float = 0.0,
         rng: int = 0,
     ):
         self.obs_dim, self.act_dim, self.horizon = obs_dim, act_dim, horizon
-        self.return_scale = return_scale
+        # antmaze conditions on val/scale + 1 so returns land in [0, 1]
+        # (reference dd_d4rl_antmaze.py); val_shift implements the "+ 1".
+        self.return_scale, self.val_shift = return_scale, val_shift
         self.solver, self.sampling_steps = solver, sampling_steps
         self.w_cfg, self.target_return, self.temperature = w_cfg, target_return, temperature
         self.invdyn_gradient_steps = invdyn_gradient_steps
@@ -98,7 +101,7 @@ class DDPipeline:
     # ------------------------------------------------------------------
     def train_step(self, batch):
         obs, act, val = batch["obs"]["state"], batch["act"], batch["val"]
-        val = val / self.return_scale
+        val = val / self.return_scale + self.val_shift
         log = self.agent.update(obs, val)
         if int(self.agent.state.step) <= self.invdyn_gradient_steps:
             o = obs[:, :-1].reshape(-1, self.obs_dim)

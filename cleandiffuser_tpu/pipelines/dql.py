@@ -61,12 +61,16 @@ class DQLPipeline:
         ema_rate: float = 0.995,
         ema_update_interval: int = 5,
         predict_noise: bool = True,
+        max_q_backup: int = 0,
         rng: int = 0,
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.discount, self.eta = discount, eta
         self.ema_update_interval = ema_update_interval
         self.sampling_steps, self.solver = sampling_steps, solver
+        # antmaze uses max-Q backup over `max_q_backup` sampled next actions
+        # (reference dql_d4rl_antmaze.py:84-95); 0 disables it.
+        self.max_q_backup = max_q_backup
 
         self.actor = DiscreteDiffusionSDE(
             DQLMlp(obs_dim=obs_dim, act_dim=act_dim, emb_dim=emb_dim),
@@ -111,6 +115,31 @@ class DQLPipeline:
         self._act_fn_cache = {}
 
     # ------------------------------------------------------------------
+    def _td_target(self, ema_params, target_params, next_obs, rew, tml, k_next):
+        """TD target with optional max-Q backup: sample `max_q_backup` next
+        actions per state, take per-head max over candidates, then min over
+        the twin heads (reference dql_d4rl_antmaze.py:84-95)."""
+        actor, critic = self.actor, self.critic
+        M = self.max_q_backup
+        b = next_obs.shape[0]
+        if M > 0:
+            nobs = jnp.repeat(next_obs[:, None, :], M, axis=1).reshape(b * M, -1)
+            prior = jnp.zeros((b * M, actor.nn_diffusion.act_dim))
+            next_act, _ = self._sample_fn(
+                ema_params, None, k_next, prior, condition_cfg=nobs, w_cfg=1.0
+            )
+            q1, q2 = critic.apply(target_params, nobs, jax.lax.stop_gradient(next_act))
+            q1 = q1.reshape(b, M, -1).max(axis=1)
+            q2 = q2.reshape(b, M, -1).max(axis=1)
+        else:
+            prior = jnp.zeros((b, actor.nn_diffusion.act_dim))
+            next_act, _ = self._sample_fn(
+                ema_params, None, k_next, prior, condition_cfg=next_obs, w_cfg=1.0
+            )
+            q1, q2 = critic.apply(target_params, next_obs, jax.lax.stop_gradient(next_act))
+        target_q = rew + (1.0 - tml) * self.discount * jnp.minimum(q1, q2)
+        return jax.lax.stop_gradient(target_q)
+
     def _make_train_step(self):
         actor, critic = self.actor, self.critic
         sample_fn = self._sample_fn
@@ -126,14 +155,10 @@ class DQLPipeline:
             rng, k_next, k_bc, k_new, k_coin = jax.random.split(actor_state.rng, 5)
 
             # ---- critic TD update (next action from EMA actor, no grad) ----
-            next_act, _ = sample_fn(
-                actor_state.ema_params, None, k_next, prior,
-                condition_cfg=next_obs, w_cfg=1.0,
+            target_q = self._td_target(
+                actor_state.ema_params, critic_state.target_params,
+                next_obs, rew, tml, k_next,
             )
-            next_act = jax.lax.stop_gradient(next_act)
-            q1_t, q2_t = critic.apply(critic_state.target_params, next_obs, next_act)
-            target_q = rew + (1.0 - tml) * discount * jnp.minimum(q1_t, q2_t)
-            target_q = jax.lax.stop_gradient(target_q)
 
             def critic_loss_fn(params):
                 q1, q2 = critic.apply(params, obs, act)

@@ -41,15 +41,10 @@ class EDPPipeline(DQLPipeline):
 
             rng, k_next, k_bc, k_t, k_eps, k_coin = jax.random.split(actor_state.rng, 6)
 
-            # ---- critic TD update ----
-            next_act, _ = sample_fn(
-                actor_state.ema_params, None, k_next, prior,
-                condition_cfg=next_obs, w_cfg=1.0,
-            )
-            next_act = jax.lax.stop_gradient(next_act)
-            q1_t, q2_t = critic.apply(critic_state.target_params, next_obs, next_act)
-            target_q = jax.lax.stop_gradient(
-                rew + (1.0 - tml) * discount * jnp.minimum(q1_t, q2_t)
+            # ---- critic TD update (optional antmaze max-Q backup) ----
+            target_q = self._td_target(
+                actor_state.ema_params, critic_state.target_params,
+                next_obs, rew, tml, k_next,
             )
 
             def critic_loss_fn(params):

@@ -51,15 +51,32 @@ def d4rl_eval_loop(
     seed: int = 0,
     max_steps: int = 1000,
     logger: Optional[Logger] = None,
+    reward_mode: str = "mujoco",
 ):
-    """Vectorized eval with the reference's reward bookkeeping
-    (ep_reward += rew * (1 - cum_done) if t < max_steps else rew)."""
+    """Vectorized eval with the reference's per-benchmark reward bookkeeping:
+
+    - "mujoco":  ep_reward += rew * (1 - cum_done) if t < max_steps else rew
+                 (reference diffuser_d4rl_mujoco.py:155)
+    - "antmaze": ep_reward += rew, clipped to [0, 1]
+                 (reference diffuser_d4rl_antmaze.py:156-162)
+    - "kitchen": ep_reward += rew, clipped to [0, 4], 280-step horizon
+                 (reference diffuser_d4rl_kitchen.py:130,155-160)
+    - "maze2d":  ep_reward += rew (dense goal-distance reward, no clip)
+    """
     from .data_loading import get_normalized_score_fn, make_eval_env_fns
+    from ..env.wrapper import DuckSyncVectorEnv
 
-    import gymnasium as gym
+    if reward_mode == "kitchen":
+        max_steps = min(max_steps, 280)
+    import inspect
 
-    envs = gym.vector.SyncVectorEnv(make_eval_env_fns(env_name, num_envs))
+    # an act_fn declaring `ep_reward` receives the running per-env episode
+    # reward (used by e.g. kitchen DiffuserLite to ramp the CFG target with
+    # completed-subtask count)
+    wants_rew = "ep_reward" in inspect.signature(act_fn).parameters
+    envs = DuckSyncVectorEnv(make_eval_env_fns(env_name, num_envs))
     score_fn = get_normalized_score_fn(env_name)
+    clip_hi = {"antmaze": 1.0, "kitchen": 4.0}.get(reward_mode)
     episode_rewards = []
     for ep in range(num_episodes):
         obs, _ = envs.reset(seed=seed + ep)
@@ -68,12 +85,18 @@ def d4rl_eval_loop(
         t = 0
         while not np.all(cum_done) and t < max_steps + 1:
             nobs = normalizer.normalize(obs)
-            act = np.asarray(act_fn(nobs))
+            act = np.asarray(act_fn(nobs, ep_reward=ep_reward) if wants_rew
+                             else act_fn(nobs))
             obs, rew, term, trunc, _ = envs.step(act)
             done = np.logical_or(term, trunc)
             t += 1
             cum_done = np.logical_or(cum_done, done)
-            ep_reward += rew * (1 - cum_done) if t < max_steps else rew
+            if reward_mode == "mujoco":
+                ep_reward += rew * (1 - cum_done) if t < max_steps else rew
+            else:
+                ep_reward += rew
+        if clip_hi is not None:
+            ep_reward = np.clip(ep_reward, 0.0, clip_hi)
         episode_rewards.append([score_fn(r) for r in ep_reward])
         print(f"episode {ep}: {np.mean(episode_rewards[-1]):.3f}")
     episode_rewards = np.array(episode_rewards)

@@ -119,6 +119,11 @@ def load_config(
             if candidate.exists():
                 group_choices[key] = value
                 continue
+            available = sorted(p.stem for p in (config_path / key).glob("*.yaml"))
+            raise ValueError(
+                f"Unknown {key} '{value}' for {config_path.name}; "
+                f"available: {available}"
+            )
         plain_overrides.append(ov)
 
     for group, choice in group_choices.items():

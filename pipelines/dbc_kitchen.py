@@ -1,0 +1,116 @@
+"""DiffusionBC on Franka Kitchen — CLI entry (reference pipelines/dbc_kitchen.py).
+
+Pearce MLP/Transformer BC policy over a To-frame obs window, one action per
+control step (action_steps=1), DDPM/EDM with optional diffusion-x sampling.
+Data: relay-policy-learning .npy archive dir (synthetic fallback). Eval:
+gymnasium_robotics FrankaKitchen via MultiStepWrapper.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from cleandiffuser_tpu.dataset import ReplayBuffer
+from cleandiffuser_tpu.dataset.kitchen import KitchenDataset
+from cleandiffuser_tpu.env import MultiStepWrapper, make_kitchen_env
+from cleandiffuser_tpu.pipelines import DBCPipeline
+from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.logger import Logger
+from cleandiffuser_tpu.utils.tensors import set_seed
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dbc/kitchen"
+
+
+def _load_or_fake(dataset_dir, obs_dim, act_dim):
+    p = Path(dataset_dir)
+    if (p / "observations_seq.npy").exists():
+        return p
+    print(f"[data] no kitchen archive at {p}; using synthetic demos")
+    rb = ReplayBuffer.create_empty_numpy()
+    for _ in range(8):
+        T = 200
+        rb.add_episode({
+            "state": np.random.randn(T, obs_dim).astype(np.float32),
+            "action": np.random.uniform(-1, 1, (T, act_dim)).astype(np.float32),
+        })
+    return rb
+
+
+def pipeline(args):
+    set_seed(args.seed)
+    save_path = Path(f"results/{args.pipeline_name}/")
+    save_path.mkdir(parents=True, exist_ok=True)
+    logger = Logger(save_path, args.to_dict())
+
+    dataset = KitchenDataset(
+        _load_or_fake(args.dataset_dir, args.obs_dim, args.action_dim),
+        horizon=args.horizon, pad_before=args.obs_steps - 1,
+        pad_after=0, abs_action=args.abs_action,
+    )
+    pipe = DBCPipeline(
+        obs_dim=args.obs_dim, action_dim=args.action_dim, obs_steps=args.obs_steps,
+        nn=args.nn, diffusion=args.diffusion, sample_steps=args.sample_steps,
+        diffusion_x_sampling_steps=(args.extra_sample_steps if args.diffusion_x else 0),
+        lr=args.lr, gradient_steps=args.gradient_steps, ema_rate=args.ema_rate,
+        rng=args.seed,
+    )
+
+    def evaluate():
+        norm_o = dataset.normalizer["obs"]["state"]
+        norm_a = dataset.normalizer["action"]
+        rewards = []
+        for ep in range(args.eval_episodes):
+            env = MultiStepWrapper(
+                make_kitchen_env(list(args.kitchen_tasks)),
+                n_obs_steps=args.obs_steps, n_action_steps=1,
+                max_episode_steps=args.max_episode_steps,
+            )
+            obs, _ = env.reset(seed=args.seed + ep)
+            total, t = 0.0, 0
+            while t < args.max_episode_steps:
+                nobs = norm_o.normalize(obs[None].astype(np.float32))
+                act = np.asarray(pipe.act(nobs))  # (1, act_dim)
+                act = norm_a.unnormalize(act)
+                obs, rew, done, trunc, _ = env.step(act[:, None][0])
+                total += rew
+                t += 1
+                if done:
+                    break
+            env.close()
+            rewards.append(total)
+        return {"mean_reward": float(np.mean(rewards))}
+
+    if args.mode == "train":
+        rng = jax.random.PRNGKey(args.seed)
+        losses = []
+        for step in range(args.gradient_steps):
+            rng, k = jax.random.split(rng)
+            log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
+            losses.append(log["loss"])
+            if (step + 1) % args.log_freq == 0:
+                m = {"step": step + 1, "avg_loss": sum(losses) / len(losses)}
+                print(m)
+                logger.log(m, "train")
+                losses = []
+            if (step + 1) % args.save_freq == 0:
+                pipe.save(str(save_path / "ckpt_latest"))
+            if (step + 1) % args.eval_freq == 0:
+                m = {"step": step + 1, **evaluate()}
+                print(m)
+                logger.log(m, "inference")
+    elif args.mode == "inference":
+        pipe.load(str(save_path / "ckpt_latest"))
+        m = evaluate()
+        print(m)
+        logger.log(m, "inference")
+    else:
+        raise ValueError(f"Invalid mode: {args.mode}")
+    logger.finish()
+
+
+if __name__ == "__main__":
+    pipeline(load_config(CONFIG_DIR, "kitchen", parse_cli(sys.argv[1:])))

@@ -1,0 +1,123 @@
+"""DiffusionBC on Robomimic (image obs) — CLI entry (reference pipelines/dbc_robomimic_image.py).
+
+Pearce BC policy conditioned on MultiImageObsCondition (per-camera
+GN-ResNet18 + eef/gripper low_dim), one action per control step. Note: the
+reference's `ddim|dpmsolver` import branch is dead code (imports a symbol
+the package does not export, dbc_robomimic_image.py:263) — not replicated.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from cleandiffuser_tpu.dataset import RobomimicImageDataset
+from cleandiffuser_tpu.dataset.fake import fake_robomimic_buffer
+from cleandiffuser_tpu.pipelines.dbc_image import DBCImagePipeline
+from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.logger import Logger
+from cleandiffuser_tpu.utils.tensors import set_seed
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dbc/robomimic_image"
+
+
+def pipeline(args):
+    set_seed(args.seed)
+    save_path = Path(f"results/{args.pipeline_name}/{args.task_name}/")
+    save_path.mkdir(parents=True, exist_ok=True)
+    logger = Logger(save_path, args.to_dict())
+
+    shape_meta = args.shape_meta.to_dict()
+    image_keys = sorted(k for k, v in shape_meta["obs"].items()
+                        if v["type"] == "rgb")
+    lowdim_dims = sum(v["shape"][0] for v in shape_meta["obs"].values()
+                      if v["type"] == "low_dim")
+    source = args.dataset_path
+    if not Path(args.dataset_path).exists():
+        print(f"[data] no robomimic hdf5 at {args.dataset_path}; synthetic demos")
+        source = fake_robomimic_buffer(
+            lowdim_dims, args.action_dim, image_keys=image_keys,
+            image_size=shape_meta["obs"][image_keys[0]]["shape"][-1],
+        )
+    dataset = RobomimicImageDataset(
+        source, horizon=args.horizon, pad_before=args.obs_steps - 1,
+        pad_after=0, image_keys=image_keys, abs_action=args.abs_action,
+    )
+    pipe_meta = {"obs": {"state": {"shape": [lowdim_dims], "type": "low_dim"}}}
+    for k in image_keys:
+        pipe_meta["obs"][k] = shape_meta["obs"][k]
+    pipe = DBCImagePipeline(
+        shape_meta=pipe_meta, action_dim=args.action_dim,
+        obs_steps=args.obs_steps, nn=args.nn, diffusion=args.diffusion,
+        sample_steps=args.sample_steps,
+        diffusion_x_sampling_steps=(args.extra_sample_steps if args.diffusion_x else 0),
+        crop_shape=tuple(args.crop_shape), lr=args.lr,
+        gradient_steps=args.gradient_steps, rng=args.seed,
+    )
+
+    if args.mode == "train":
+        rng = jax.random.PRNGKey(args.seed)
+        losses = []
+        for step in range(args.gradient_steps):
+            rng, k = jax.random.split(rng)
+            log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
+            losses.append(log["loss"])
+            if (step + 1) % args.log_freq == 0:
+                m = {"step": step + 1, "avg_loss": sum(losses) / len(losses)}
+                print(m)
+                logger.log(m, "train")
+                losses = []
+            if (step + 1) % args.save_freq == 0:
+                pipe.save(str(save_path / "ckpt_latest"))
+    elif args.mode == "inference":
+        pipe.load(str(save_path / "ckpt_latest"))
+        from cleandiffuser_tpu.env.robomimic import (
+            RobomimicImageWrapper,
+            create_robomimic_env,
+        )
+        import h5py, json
+
+        with h5py.File(args.dataset_path) as f:
+            env_meta = json.loads(f["data"].attrs["env_args"])
+        env = RobomimicImageWrapper(
+            create_robomimic_env(env_meta, use_image_obs=True),
+            shape_meta=shape_meta,
+        )
+        norm_a = dataset.normalizer["action"]
+        To = args.obs_steps
+        rewards = []
+        for ep in range(args.eval_episodes):
+            obs = env.reset()
+            hist = [obs]
+            total, t = 0.0, 0
+            while t < args.max_episode_steps:
+                window = ([hist[0]] * (To - len(hist)) + hist)[-To:]
+                batch_obs = {
+                    key: np.stack([w[key] for w in window])[None]
+                    for key in obs
+                }
+                act = np.asarray(pipe.act(batch_obs))[0]
+                act = norm_a.unnormalize(act)
+                if args.abs_action:
+                    act = dataset.undo_transform_action(act[None])[0]
+                obs, rew, done, _ = env.step(act)
+                hist.append(obs)
+                total += rew
+                t += 1
+                if done:
+                    break
+            rewards.append(total)
+            print(f"episode {ep}: reward {total}")
+        m = {"mean_reward": float(np.mean(rewards))}
+        print(m)
+        logger.log(m, "inference")
+    else:
+        raise ValueError(f"Invalid mode: {args.mode}")
+    logger.finish()
+
+
+if __name__ == "__main__":
+    pipeline(load_config(CONFIG_DIR, "robomimic_image", parse_cli(sys.argv[1:])))

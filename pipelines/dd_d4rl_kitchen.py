@@ -1,0 +1,74 @@
+"""Decision Diffuser on D4RL-Kitchen — CLI entry (reference pipelines/dd_d4rl_kitchen.py).
+
+Usage:
+    python pipelines/dd_d4rl_kitchen.py mode=train task=kitchen-mixed-v0
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from cleandiffuser_tpu.dataset import D4RLKitchenDataset
+from cleandiffuser_tpu.pipelines import DDPipeline
+from cleandiffuser_tpu.utils import DD_RETURN_SCALE
+from cleandiffuser_tpu.pipelines.data_loading import (
+    load_d4rl_dataset,
+    load_d4rl_qlearning_dataset,
+)
+from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
+from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.logger import Logger
+from cleandiffuser_tpu.utils.tensors import set_seed
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dd/kitchen"
+
+
+def pipeline(args):
+    set_seed(args.seed)
+    save_path = Path(f"results/{args.pipeline_name}/{args.task.env_name}/")
+    save_path.mkdir(parents=True, exist_ok=True)
+    logger = Logger(save_path, args.to_dict())
+
+    dataset = D4RLKitchenDataset(
+        load_d4rl_dataset(args.task.env_name), horizon=args.task.horizon, discount=args.discount,
+    )
+    pipe = DDPipeline(
+        obs_dim=dataset.o_dim, act_dim=dataset.a_dim, horizon=args.task.horizon,
+        emb_dim=args.emb_dim, d_model=args.d_model, n_heads=args.n_heads,
+        depth=args.depth, label_dropout=args.label_dropout,
+        predict_noise=args.predict_noise,
+        next_obs_loss_weight=args.next_obs_loss_weight,
+        return_scale=DD_RETURN_SCALE.get(args.task.env_name, 100.0),
+        val_shift=0.0,
+        ema_rate=args.ema_rate,
+        diffusion_gradient_steps=args.diffusion_gradient_steps,
+        invdyn_gradient_steps=args.invdyn_gradient_steps,
+        solver=args.solver, sampling_steps=args.sampling_steps,
+        w_cfg=args.task.w_cfg, target_return=args.task.target_return,
+        temperature=args.temperature, rng=args.seed,
+    )
+
+    if args.mode == "train":
+        train_loop(
+            lambda k: pipe.train_step(dataset.sample_batch(k, args.batch_size)),
+            args.diffusion_gradient_steps, args.log_interval, args.save_interval,
+            lambda tag: pipe.save(str(save_path / f"ckpt_{tag}")), logger, args.seed,
+        )
+    elif args.mode == "inference":
+        pipe.load(str(save_path / f"ckpt_{args.diffusion_ckpt}"))
+        d4rl_eval_loop(
+            lambda nobs: pipe.act(nobs)[0], args.task.env_name,
+            dataset.get_normalizer(), args.num_envs, args.num_episodes,
+            args.seed, logger=logger, reward_mode="kitchen",
+        )
+    else:
+        raise ValueError(f"Invalid mode: {args.mode}")
+    logger.finish()
+
+
+if __name__ == "__main__":
+    pipeline(load_config(CONFIG_DIR, "kitchen", parse_cli(sys.argv[1:])))

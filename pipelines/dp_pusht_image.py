@@ -1,0 +1,104 @@
+"""Diffusion Policy on PushT (image obs) — CLI entry (reference pipelines/dp_pusht_image.py).
+
+MultiImageObsCondition (GN-ResNet18 + low_dim) over 96x96 renders; ChiUNet/
+DiT action-chunk head; receding-horizon eval on the pure-JAX PushT image env
+(on-device SDF rasterizer renders the observations).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from cleandiffuser_tpu.dataset import PushTImageDataset, generate_pusht_demos
+from cleandiffuser_tpu.env.pusht_jax import PushTImageEnvJax
+from cleandiffuser_tpu.pipelines.dp_image import DPImagePipeline
+from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.logger import Logger
+from cleandiffuser_tpu.utils.tensors import set_seed
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dp/pusht_image"
+
+
+def pipeline(args):
+    set_seed(args.seed)
+    save_path = Path(f"results/{args.pipeline_name}/")
+    save_path.mkdir(parents=True, exist_ok=True)
+    logger = Logger(save_path, args.to_dict())
+
+    dataset_path = Path(args.dataset_path)
+    source = (str(dataset_path) if dataset_path.exists()
+              else generate_pusht_demos(n_episodes=16, max_steps=100, seed=args.seed,
+                                        with_images=True, image_size=96))
+    dataset = PushTImageDataset(
+        source, horizon=args.horizon, pad_before=args.obs_steps - 1,
+        pad_after=args.action_steps - 1,
+    )
+    shape_meta = args.shape_meta.to_dict()
+    pipe = DPImagePipeline(
+        shape_meta=shape_meta, action_dim=args.action_dim, horizon=args.horizon,
+        obs_steps=args.obs_steps, action_steps=args.action_steps, nn=args.nn,
+        diffusion=args.diffusion, sample_steps=args.sample_steps,
+        crop_shape=tuple(args.crop_shape), lr=args.lr,
+        gradient_steps=args.gradient_steps, rng=args.seed,
+    )
+
+    def evaluate():
+        env = PushTImageEnvJax(render_size=96)
+        step_jit = jax.jit(env.step)
+        norm_a = dataset.normalizer["action"]
+        E, To, Ta = args.num_envs, args.obs_steps, args.action_steps
+        rng = jax.random.PRNGKey(args.seed + 1)
+        rng, k = jax.random.split(rng)
+        state, obs = jax.jit(env.reset, static_argnums=1)(k, E)
+        img_win = np.repeat(np.asarray(obs["image"])[:, None], To, axis=1)
+        pos_win = np.repeat(np.asarray(obs["agent_pos"])[:, None], To, axis=1)
+        total = np.zeros(E)
+        best = np.zeros(E)
+        for _ in range(args.max_episode_steps // Ta):
+            chunk = np.asarray(pipe.act_chunk(
+                {"image": img_win, "agent_pos": pos_win}))
+            chunk = norm_a.unnormalize(chunk)
+            for i in range(Ta):
+                state, obs, rew, done = step_jit(state, np.asarray(chunk[:, i]))
+                best = np.maximum(best, np.asarray(rew))
+            img_win = np.concatenate(
+                [img_win[:, 1:], np.asarray(obs["image"])[:, None]], axis=1)
+            pos_win = np.concatenate(
+                [pos_win[:, 1:], np.asarray(obs["agent_pos"])[:, None]], axis=1)
+        return {"mean_reward": float(best.mean()),
+                "mean_success": float((best >= 1.0).mean())}
+
+    if args.mode == "train":
+        rng = jax.random.PRNGKey(args.seed)
+        losses = []
+        for step in range(args.gradient_steps):
+            rng, k = jax.random.split(rng)
+            log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
+            losses.append(log["loss"])
+            if (step + 1) % args.log_freq == 0:
+                m = {"step": step + 1, "avg_loss": sum(losses) / len(losses)}
+                print(m)
+                logger.log(m, "train")
+                losses = []
+            if (step + 1) % args.save_freq == 0:
+                pipe.save(str(save_path / "ckpt_latest"))
+            if (step + 1) % args.eval_freq == 0:
+                m = {"step": step + 1, **evaluate()}
+                print(m)
+                logger.log(m, "inference")
+    elif args.mode == "inference":
+        pipe.load(str(save_path / "ckpt_latest"))
+        m = evaluate()
+        print(m)
+        logger.log(m, "inference")
+    else:
+        raise ValueError(f"Invalid mode: {args.mode}")
+    logger.finish()
+
+
+if __name__ == "__main__":
+    pipeline(load_config(CONFIG_DIR, "pusht_image", parse_cli(sys.argv[1:])))

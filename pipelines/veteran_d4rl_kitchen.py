@@ -1,0 +1,95 @@
+"""Diffusion Veteran on D4RL-Kitchen — CLI entry (reference pipelines/veteran_d4rl_kitchen.py).
+
+Usage:
+    python pipelines/veteran_d4rl_kitchen.py mode=train task=kitchen-mixed-v0
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from cleandiffuser_tpu.dataset import DV_D4RLKitchenSeqDataset, D4RLKitchenTDDataset
+from cleandiffuser_tpu.pipelines import VeteranPipeline
+from cleandiffuser_tpu.pipelines.data_loading import (
+    load_d4rl_dataset,
+    load_d4rl_qlearning_dataset,
+)
+from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
+from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.logger import Logger
+from cleandiffuser_tpu.utils.tensors import set_seed
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/veteran/kitchen"
+
+
+def pipeline(args):
+    set_seed(args.seed)
+    save_path = Path(f"results/{args.pipeline_name}/{args.task.env_name}/")
+    save_path.mkdir(parents=True, exist_ok=True)
+    logger = Logger(save_path, args.to_dict())
+
+    dataset = DV_D4RLKitchenSeqDataset(
+        load_d4rl_dataset(args.task.env_name), horizon=args.task.planner_horizon,
+        discount=args.discount, center_mapping=(args.guidance_type != "cfg"),
+        stride=args.task.stride,
+    )
+    pipe = VeteranPipeline(
+        obs_dim=dataset.o_dim, act_dim=dataset.a_dim,
+        planner_horizon=args.task.planner_horizon,
+        guidance_type=args.guidance_type, pipeline_type=args.pipeline_type,
+        planner_net=args.planner_net,
+        use_diffusion_invdyn=args.use_diffusion_invdyn,
+        use_weighted_regression=args.use_weighted_regression,
+        weight_factor=args.weight_factor, planner_emb_dim=args.planner_emb_dim,
+        planner_d_model=args.planner_d_model, planner_depth=args.planner_depth,
+        unet_dim=args.unet_dim,
+        next_obs_loss_weight=args.planner_next_obs_loss_weight,
+        policy_hidden_dim=args.policy_hidden_dim,
+        policy_diffusion_steps=args.policy_diffusion_steps,
+        discount=args.discount, gradient_steps=args.planner_diffusion_gradient_steps,
+        critic_lr=args.critic_learning_rate, planner_solver=args.planner_solver,
+        planner_sampling_steps=args.planner_sampling_steps,
+        policy_solver=args.policy_solver,
+        policy_sampling_steps=args.policy_sampling_steps,
+        w_cfg=args.task.planner_w_cfg, target_return=args.task.planner_target_return,
+        temperature=args.task.planner_temperature, rng=args.seed,
+    )
+
+    if args.mode == "train":
+        def step(k):
+            k1, k2 = jax.random.split(k)
+            return pipe.train_step(
+                dataset.sample_batch(k1, args.batch_size),
+                dataset.sample_batch(k2, args.batch_size),
+            )
+
+        train_loop(step, args.planner_diffusion_gradient_steps, args.log_interval,
+                   args.save_interval,
+                   lambda tag: pipe.planner.save(str(save_path / f"planner_{tag}")),
+                   logger, args.seed)
+    elif args.mode == "train_expected_value":
+        td = D4RLKitchenTDDataset(load_d4rl_qlearning_dataset(args.task.env_name))
+        train_loop(
+            lambda k: pipe.train_expected_value_step(td.sample_batch(k, 256)),
+            1_000_000, args.log_interval, args.save_interval,
+            lambda tag: None, logger, args.seed,
+        )
+    elif args.mode == "inference":
+        pipe.planner.load(str(save_path / "planner_latest"))
+        d4rl_eval_loop(
+            lambda nobs: pipe.act(nobs, num_candidates=args.planner_num_candidates)[0],
+            args.task.env_name, dataset.get_normalizer(),
+            args.num_envs, args.num_episodes, args.seed, logger=logger,
+            reward_mode="kitchen",
+        )
+    else:
+        raise ValueError(f"Invalid mode: {args.mode}")
+    logger.finish()
+
+
+if __name__ == "__main__":
+    pipeline(load_config(CONFIG_DIR, "kitchen", parse_cli(sys.argv[1:])))
