@@ -11,3 +11,10 @@ from .vp_solvers import SUPPORTED_SOLVERS
 # whose solver set covers the union, exposed under the legacy names.
 DDPM = DiscreteDiffusionSDE
 EDM = ContinuousEDM
+# DDIM is the same discrete engine sampled with solver="ddim"
+# (reference diffusion/ddim.py:15); DPM-Solver variants are the continuous
+# engine's ode_/sde_dpmsolver solver strings (reference dpmsolver.py:92,
+# dpmsolver_discrete.py:29).
+DDIM = DiscreteDiffusionSDE
+DPMSolver = ContinuousDiffusionSDE
+DPMSolverDiscrete = DiscreteDiffusionSDE
