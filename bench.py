@@ -195,6 +195,35 @@ def main():
     except Exception as e:  # keep the primary metric robust
         planner_detail["planner_bench_error"] = str(e)[:200]
 
+    # ---- training throughput: fused DQL train step (critic TD + policy
+    # backprop-through-sampling + EMA/Polyak in ONE donated XLA program) ----
+    try:
+        from cleandiffuser_tpu.dataset import D4RLMuJoCoTDDataset
+        from cleandiffuser_tpu.dataset.fake import fake_d4rl_qlearning_dataset
+        from cleandiffuser_tpu.pipelines import DQLPipeline
+
+        ds = D4RLMuJoCoTDDataset(
+            fake_d4rl_qlearning_dataset("halfcheetah-medium-v2", n_steps=20_000)
+        )
+        pipe = DQLPipeline(obs_dim=ds.o_dim, act_dim=ds.a_dim,
+                           diffusion_steps=5, sampling_steps=5,
+                           gradient_steps=1000, rng=0)
+        batch = ds.sample_batch(jax.random.PRNGKey(1), 256)
+        N_STEPS = 50
+        pipe.train_step(batch)  # compile
+
+        import time as _time
+
+        t0 = _time.time()
+        for _ in range(N_STEPS):
+            log = pipe.train_step(batch)
+        _ = float(log["critic_loss"])  # force
+        t_train = (_time.time() - t0 - 0.03) / N_STEPS
+        planner_detail["dql_train_steps_per_sec"] = round(1.0 / t_train, 1)
+        planner_detail["dql_train_ms_per_step"] = round(t_train * 1e3, 3)
+    except Exception as e:
+        planner_detail["train_bench_error"] = str(e)[:200]
+
     print(
         json.dumps(
             {
