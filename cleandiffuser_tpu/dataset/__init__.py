@@ -28,7 +28,7 @@ from .pusht import (
 from .replay_buffer import ReplayBuffer
 from .block_push import BlockPushDataset
 from .d4rl_maze2d import D4RLMaze2DTDDataset, DV_D4RLMaze2DSeqDataset
-from .kitchen import KitchenDataset, KitchenDatasetV2
+from .kitchen import KitchenDataset, KitchenDatasetV2, KitchenMjlDataset
 from .robomimic import (
     RobomimicDataset,
     RobomimicImageDataset,

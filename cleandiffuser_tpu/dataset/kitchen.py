@@ -19,7 +19,7 @@ from ..utils.normalizers import DatasetMinMaxNormalizer
 from .pusht import _PushTBase
 from .replay_buffer import ReplayBuffer
 
-__all__ = ["KitchenDataset", "KitchenDatasetV2"]
+__all__ = ["KitchenDataset", "KitchenDatasetV2", "KitchenMjlDataset"]
 
 
 def _load_kitchen_buffer(dataset_dir) -> ReplayBuffer:
@@ -131,3 +131,52 @@ class KitchenDatasetV2(KitchenDataset):
             "obs": {"state": jnp.asarray(self.replay_buffer["state"].astype(np.float32))},
             "action": jnp.asarray(self.replay_buffer["action"].astype(np.float32)),
         }
+
+
+class KitchenMjlDataset(KitchenDataset):
+    """Kitchen demos parsed straight from raw MuJoCo .mjl logs (reference
+    kitchen_dataset.py:157-247): obs = [robot qpos 9 | object qpos 21 |
+    zero goal 30] with optional robot-position observation noise, action =
+    raw ctrl (abs_action layout)."""
+
+    # per-dim robot observation-noise amplitudes (reference :169-172)
+    _NOISE_AMP = np.array(
+        [0.1] * 9 + [0.005] * 2 + [0.0005] * 6 + [0.005] * 3
+        + [0.1] * 3 + [0.005] * 3 + [0.1] * 3 + [0.005],
+        dtype=np.float32,
+    )
+
+    def __init__(self, dataset_dir, horizon=1, pad_before=0, pad_after=0,
+                 abs_action: bool = True, robot_noise_ratio: float = 0.1,
+                 skip: int = 40):
+        from pathlib import Path
+
+        from .mjl import parse_mjl_log
+
+        rng = np.random.default_rng(seed=42)
+        rb = ReplayBuffer.create_empty_numpy()
+        paths = sorted(Path(dataset_dir).glob("*/*.mjl")) if Path(dataset_dir).exists() else []
+        for p in paths:
+            try:
+                log = parse_mjl_log(str(p), skip=skip)
+                qpos = log["qpos"].astype(np.float32)
+                obs = np.concatenate(
+                    [qpos[:, :9], qpos[:, -21:],
+                     np.zeros((len(qpos), 30), np.float32)], axis=-1,
+                )
+                if robot_noise_ratio > 0:
+                    obs[:, :30] += robot_noise_ratio * self._NOISE_AMP * rng.uniform(
+                        -1.0, 1.0, size=(obs.shape[0], 30)
+                    )
+                rb.add_episode({"state": obs,
+                                "action": log["ctrl"].astype(np.float32)})
+            except Exception as e:  # skip corrupt logs like the reference
+                print(f"[KitchenMjlDataset] skipping {p}: {e}")
+        if rb.n_episodes == 0:
+            raise FileNotFoundError(
+                f"no parseable .mjl logs under {dataset_dir} "
+                "(expected relay-policy-learning kitchen_demos_multitask layout)"
+            )
+        _PushTBase.__init__(self, rb, obs_keys=["state", "action"],
+                            horizon=horizon, pad_before=pad_before,
+                            pad_after=pad_after)

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from cleandiffuser_tpu.dataset import ReplayBuffer
-from cleandiffuser_tpu.dataset.kitchen import KitchenDataset
+from cleandiffuser_tpu.dataset.kitchen import KitchenDataset, KitchenMjlDataset
 from cleandiffuser_tpu.env import MultiStepWrapper, make_kitchen_env
 from cleandiffuser_tpu.pipelines import DBCPipeline
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
@@ -46,11 +46,19 @@ def pipeline(args):
     save_path.mkdir(parents=True, exist_ok=True)
     logger = Logger(save_path, args.to_dict())
 
-    dataset = KitchenDataset(
-        _load_or_fake(args.dataset_dir, args.obs_dim, args.action_dim),
-        horizon=args.horizon, pad_before=args.obs_steps - 1,
-        pad_after=0, abs_action=args.abs_action,
-    )
+    # abs_action selects the raw-.mjl (absolute ctrl) demos, matching
+    # reference dbc_kitchen.py / dp_kitchen.py:138-141
+    if args.abs_action and any(Path(args.dataset_dir).glob("*/*.mjl")):
+        dataset = KitchenMjlDataset(
+            args.dataset_dir, horizon=args.horizon,
+            pad_before=args.obs_steps - 1, pad_after=0, abs_action=True,
+        )
+    else:
+        dataset = KitchenDataset(
+            _load_or_fake(args.dataset_dir, args.obs_dim, args.action_dim),
+            horizon=args.horizon, pad_before=args.obs_steps - 1,
+            pad_after=0, abs_action=args.abs_action,
+        )
     pipe = DBCPipeline(
         obs_dim=args.obs_dim, action_dim=args.action_dim, obs_steps=args.obs_steps,
         nn=args.nn, diffusion=args.diffusion, sample_steps=args.sample_steps,
