@@ -235,6 +235,12 @@ class DQLPipeline:
         )
         return log
 
+    @property
+    def trained_steps(self) -> int:
+        """Gradient steps recorded in the checkpointed actor state (used by
+        train_loop resume_fn for crash recovery)."""
+        return int(self.actor.state.step)
+
     # ------------------------------------------------------------------
     def _make_act_fn(self, num_envs: int, num_candidates: int, weight_temperature: float,
                      use_ema: bool, temperature: float):

@@ -21,11 +21,27 @@ def train_loop(
     save_fn: Callable[[str], None],
     logger: Optional[Logger] = None,
     seed: int = 0,
+    resume_fn: Optional[Callable[[], int]] = None,
 ):
-    """Generic training loop: step_fn(rng) -> log dict of floats."""
-    rng = jax.random.PRNGKey(seed)
+    """Generic training loop: step_fn(rng) -> log dict of floats.
+
+    Improvements over the reference's bare `for batch in loop_dataloader`:
+    per-window steps/sec is logged alongside the losses, and crash recovery
+    is built in — pass `resume_fn` (returns the step to resume from, e.g.
+    by loading the latest checkpoint; the reference restarts from scratch,
+    SURVEY.md §5.3/§5.4).
+    """
+    import time
+
+    start_step = 0
+    if resume_fn is not None:
+        start_step = int(resume_fn())
+        if start_step > 0:
+            print(f"[train_loop] resuming from step {start_step}")
+    rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
     log_acc: Dict[str, float] = {}
-    for step in range(gradient_steps):
+    t_window = time.time()
+    for step in range(start_step, gradient_steps):
         rng, k = jax.random.split(rng)
         log = step_fn(k)
         for key, v in log.items():
@@ -33,6 +49,9 @@ def train_loop(
         if (step + 1) % log_interval == 0:
             log_acc = {k_: v / log_interval for k_, v in log_acc.items()}
             log_acc["gradient_steps"] = step + 1
+            now = time.time()
+            log_acc["steps_per_sec"] = round(log_interval / max(now - t_window, 1e-9), 2)
+            t_window = now
             print(log_acc)
             if logger is not None:
                 logger.log(log_acc, "train")

@@ -45,10 +45,18 @@ def pipeline(args):
     )
 
     if args.mode == "train":
+        def resume_fn():
+            ckpt = save_path / "ckpt_latest.pkl"
+            if args.get("resume", False) and ckpt.exists():
+                pipe.load(str(ckpt))
+                return pipe.trained_steps
+            return 0
+
         train_loop(
             lambda k: pipe.train_step(dataset.sample_batch(k, args.batch_size)),
             args.gradient_steps, args.log_interval, args.save_interval,
             lambda tag: pipe.save(str(save_path / f"ckpt_{tag}.pkl")), logger, args.seed,
+            resume_fn=resume_fn,
         )
     elif args.mode == "inference":
         pipe.load(str(save_path / f"ckpt_{args.ckpt}.pkl"))
