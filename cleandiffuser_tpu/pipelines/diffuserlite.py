@@ -113,9 +113,11 @@ class DiffuserLitePipeline:
             val = batches[i]["val"] / self.return_scale
             log[f"loss{i}"] = self.diffusions[i].update(obs, val)["loss"]
             if i == self.n_levels - 1 and invdyn_budget_left:
-                o = np.asarray(obs[:, :-1]).reshape(-1, self.obs_dim)
-                a = np.asarray(act[:, :-1]).reshape(-1, self.act_dim)
-                o2 = np.asarray(obs[:, 1:]).reshape(-1, self.obs_dim)
+                # slice on device: host np.asarray here would force a
+                # ~30ms tunnel round trip per training step
+                o = obs[:, :-1].reshape(-1, self.obs_dim)
+                a = act[:, :-1].reshape(-1, self.act_dim)
+                o2 = obs[:, 1:].reshape(-1, self.obs_dim)
                 log["invdyn_loss"] = self.invdyn.update(o, a, o2)["loss"]
         return log
 

@@ -108,9 +108,9 @@ def value_train_step(pipe: DiffuserLitePipeline, batches, val_fn: Callable,
         val = val_fn(batches[i], i)
         log[f"loss{i}"] = pipe.diffusions[i].update(obs, val)["loss"]
         if i == pipe.n_levels - 1 and invdyn_budget_left:
-            o = np.asarray(obs[:, :-1]).reshape(-1, pipe.obs_dim)
-            a = np.asarray(act[:, :-1]).reshape(-1, pipe.act_dim)
-            o2 = np.asarray(obs[:, 1:]).reshape(-1, pipe.obs_dim)
+            o = obs[:, :-1].reshape(-1, pipe.obs_dim)
+            a = act[:, :-1].reshape(-1, pipe.act_dim)
+            o2 = obs[:, 1:].reshape(-1, pipe.obs_dim)
             log["invdyn_loss"] = pipe.invdyn.update(o, a, o2)["loss"]
     return log
 

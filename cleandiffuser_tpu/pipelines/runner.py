@@ -39,22 +39,25 @@ def train_loop(
         if start_step > 0:
             print(f"[train_loop] resuming from step {start_step}")
     rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
-    log_acc: Dict[str, float] = {}
+    # accumulate log values ON DEVICE — float(v) per step would force a
+    # host sync every step (30ms each over a tunneled chip); one transfer
+    # per key per log window instead
+    log_acc: Dict[str, jax.Array] = {}
     t_window = time.time()
     for step in range(start_step, gradient_steps):
         rng, k = jax.random.split(rng)
         log = step_fn(k)
         for key, v in log.items():
-            log_acc[key] = log_acc.get(key, 0.0) + float(v)
+            log_acc[key] = log_acc.get(key, 0.0) + v
         if (step + 1) % log_interval == 0:
-            log_acc = {k_: v / log_interval for k_, v in log_acc.items()}
-            log_acc["gradient_steps"] = step + 1
+            out = {k_: float(v) / log_interval for k_, v in log_acc.items()}
+            out["gradient_steps"] = step + 1
             now = time.time()
-            log_acc["steps_per_sec"] = round(log_interval / max(now - t_window, 1e-9), 2)
+            out["steps_per_sec"] = round(log_interval / max(now - t_window, 1e-9), 2)
             t_window = now
-            print(log_acc)
+            print(out)
             if logger is not None:
-                logger.log(log_acc, "train")
+                logger.log(out, "train")
             log_acc = {}
         if (step + 1) % save_interval == 0:
             save_fn(str(step + 1))

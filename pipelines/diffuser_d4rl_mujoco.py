@@ -64,9 +64,9 @@ def pipeline(args):
             rng, k = jax.random.split(rng)
             log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
             for key, v in log.items():
-                log_acc[key] = log_acc.get(key, 0.0) + float(v)
+                log_acc[key] = log_acc.get(key, 0.0) + v  # device-side acc
             if (step + 1) % args.log_interval == 0:
-                log_acc = {k: v / args.log_interval for k, v in log_acc.items()}
+                log_acc = {k: float(v) / args.log_interval for k, v in log_acc.items()}
                 log_acc["gradient_steps"] = step + 1
                 print(log_acc)
                 logger.log(log_acc, "train")
