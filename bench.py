@@ -195,6 +195,33 @@ def main():
     except Exception as e:  # keep the primary metric robust
         planner_detail["planner_bench_error"] = str(e)[:200]
 
+    # ---- peak sampling throughput: the eval config (50 envs x 50
+    # candidates) is latency-bound at 0.12ms/batch; a 10x candidate pool
+    # shows the chip's throughput ceiling ----
+    try:
+        BIG = 25_000
+        prior_big = jnp.zeros((BIG, ACT_DIM))
+        obs_big = jnp.asarray(np.random.randn(BIG, OBS_DIM).astype(np.float32))
+
+        @jax.jit
+        def run_big_many(params, r):
+            def body(carry, _):
+                r, acc = carry
+                r, k = jax.random.split(r)
+                x, _ = sample_fn(params, None, k, prior_big,
+                                 condition_cfg=obs_big, w_cfg=1.0)
+                return (r, acc + x.sum()), None
+
+            (_, acc), _ = jax.lax.scan(body, (r, 0.0), None, length=20)
+            return acc
+
+        t_big = (time_fn(run_big_many, engine.state.ema_params, rng,
+                         n_warmup=1, n_iters=3) - floor) / 20
+        planner_detail["dql_peak_actions_per_sec"] = round(BIG / t_big, 1)
+        planner_detail["dql_peak_batch"] = BIG
+    except Exception as e:
+        planner_detail["peak_bench_error"] = str(e)[:200]
+
     # ---- training throughput: fused DQL train step (critic TD + policy
     # backprop-through-sampling + EMA/Polyak in ONE donated XLA program) ----
     try:
