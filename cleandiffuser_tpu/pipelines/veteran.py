@@ -75,11 +75,13 @@ class VeteranPipeline:
         w_cfg: float = 1.2,
         target_return: float = 0.9,
         temperature: float = 1.0,
+        rebase_policy: bool = False,
         rng: int = 0,
     ):
         assert guidance_type in ("MCSS", "cfg", "cg")
         assert pipeline_type in ("separate", "joint")
         self.obs_dim, self.act_dim = obs_dim, act_dim
+        self.rebase_policy = rebase_policy
         self.planner_horizon = planner_horizon
         self.guidance_type, self.pipeline_type = guidance_type, pipeline_type
         self.use_diffusion_invdyn = use_diffusion_invdyn
@@ -342,9 +344,16 @@ class VeteranPipeline:
             if self.pipeline_type == "separate":
                 next_obs_plan = traj[:, 1, :O]
                 if policy_sample is not None:
+                    obs_pol, next_pol = obs, next_obs_plan
+                    if self.rebase_policy:
+                        # translate the (s, s') pair so s sits at the origin
+                        # in xy — antmaze translation invariance (reference
+                        # veteran_d4rl_mujoco.py:490-492)
+                        next_pol = next_pol.at[:, :2].add(-obs_pol[:, :2])
+                        obs_pol = obs_pol.at[:, :2].set(0.0)
                     act, _ = policy_sample(
                         policy_params, None, k_policy, jnp.zeros((E, self.act_dim)),
-                        condition_cfg=jnp.concatenate([obs, next_obs_plan], -1), w_cfg=1.0,
+                        condition_cfg=jnp.concatenate([obs_pol, next_pol], -1), w_cfg=1.0,
                     )
                 else:
                     act = invdyn_fn(invdyn_params, obs, next_obs_plan)

@@ -57,6 +57,7 @@ def pipeline(args):
         planner_sampling_steps=args.planner_sampling_steps,
         policy_solver=args.policy_solver,
         policy_sampling_steps=args.policy_sampling_steps,
+        rebase_policy=args.get("rebase_policy", False),
         w_cfg=args.task.planner_w_cfg, target_return=args.task.planner_target_return,
         temperature=args.task.planner_temperature, rng=args.seed,
     )
