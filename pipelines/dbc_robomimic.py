@@ -25,14 +25,14 @@ CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dbc/robomimic"
 
 def pipeline(args):
     set_seed(args.seed)
-    save_path = Path(f"results/{args.pipeline_name}/{args.task_name}/")
+    save_path = Path(f"results/{args.pipeline_name}/{args.task.task_name}/")
     save_path.mkdir(parents=True, exist_ok=True)
     logger = Logger(save_path, args.to_dict())
 
-    source = args.dataset_path
-    if not Path(args.dataset_path).exists():
-        print(f"[data] no robomimic hdf5 at {args.dataset_path}; synthetic demos")
-        source = fake_robomimic_buffer(args.obs_dim, args.action_dim)
+    source = args.task.dataset_path
+    if not Path(args.task.dataset_path).exists():
+        print(f"[data] no robomimic hdf5 at {args.task.dataset_path}; synthetic demos")
+        source = fake_robomimic_buffer(args.task.obs_dim, args.task.action_dim)
     dataset = RobomimicDataset(
         source, horizon=args.horizon, pad_before=args.obs_steps - 1,
         pad_after=0, abs_action=args.abs_action,
@@ -69,7 +69,7 @@ def pipeline(args):
         )
         import h5py, json
 
-        with h5py.File(args.dataset_path) as f:
+        with h5py.File(args.task.dataset_path) as f:
             env_meta = json.loads(f["data"].attrs["env_args"])
         env = RobomimicLowdimWrapper(create_robomimic_env(env_meta))
         norm_o = dataset.normalizer["obs"]["state"]
@@ -79,7 +79,7 @@ def pipeline(args):
             obs_hist = []
             obs = env.reset()
             total, t = 0.0, 0
-            while t < args.max_episode_steps:
+            while t < args.task.max_episode_steps:
                 obs_hist.append(obs)
                 window = np.stack(
                     ([obs_hist[0]] * (args.obs_steps - len(obs_hist)) + obs_hist)

@@ -16,6 +16,7 @@ import jax
 import numpy as np
 
 from cleandiffuser_tpu.dataset import RobomimicDataset
+from cleandiffuser_tpu.dataset.fake import fake_robomimic_buffer
 from cleandiffuser_tpu.pipelines import DPPipeline
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
@@ -26,12 +27,16 @@ CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dp/robomimic"
 
 def pipeline(args):
     set_seed(args.seed)
-    save_path = Path(f"results/{args.pipeline_name}/")
+    save_path = Path(f"results/{args.pipeline_name}/{args.task.task_name}/")
     save_path.mkdir(parents=True, exist_ok=True)
     logger = Logger(save_path, args.to_dict())
 
+    source = args.task.dataset_path
+    if not Path(args.task.dataset_path).exists():
+        print(f"[data] no robomimic hdf5 at {args.task.dataset_path}; synthetic demos")
+        source = fake_robomimic_buffer(args.task.obs_dim, args.task.action_dim)
     dataset = RobomimicDataset(
-        args.dataset_path, horizon=args.horizon,
+        source, horizon=args.horizon,
         pad_before=args.obs_steps - 1, pad_after=args.action_steps - 1,
         abs_action=args.abs_action,
     )
@@ -66,7 +71,7 @@ def pipeline(args):
         )
         import h5py, json
 
-        with h5py.File(args.dataset_path) as f:
+        with h5py.File(args.task.dataset_path) as f:
             env_meta = json.loads(f["data"].attrs["env_args"])
         env = RobomimicLowdimWrapper(create_robomimic_env(env_meta))
         norm_o = dataset.normalizer["obs"]["state"]
@@ -76,7 +81,7 @@ def pipeline(args):
             obs, _ = env.reset()
             obs_win = np.repeat(obs[None], args.obs_steps, 0)
             total = 0.0
-            for t in range(0, args.max_episode_steps, args.action_steps):
+            for t in range(0, args.task.max_episode_steps, args.action_steps):
                 nobs = norm_o.normalize(obs_win[None].astype(np.float32))
                 chunk = norm_a.unnormalize(np.asarray(pipe.act_chunk(nobs))[0])
                 if args.abs_action:

@@ -26,7 +26,7 @@ CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dp/robomimic_image"
 
 def pipeline(args):
     set_seed(args.seed)
-    save_path = Path(f"results/{args.pipeline_name}/{args.task_name}/")
+    save_path = Path(f"results/{args.pipeline_name}/{args.task.task_name}/")
     save_path.mkdir(parents=True, exist_ok=True)
     logger = Logger(save_path, args.to_dict())
 
@@ -35,11 +35,11 @@ def pipeline(args):
                         if v["type"] == "rgb")
     lowdim_dims = sum(v["shape"][0] for v in shape_meta["obs"].values()
                       if v["type"] == "low_dim")
-    source = args.dataset_path
-    if not Path(args.dataset_path).exists():
-        print(f"[data] no robomimic hdf5 at {args.dataset_path}; synthetic demos")
+    source = args.task.dataset_path
+    if not Path(args.task.dataset_path).exists():
+        print(f"[data] no robomimic hdf5 at {args.task.dataset_path}; synthetic demos")
         source = fake_robomimic_buffer(
-            lowdim_dims, args.action_dim, image_keys=image_keys,
+            lowdim_dims, args.task.action_dim, image_keys=image_keys,
             image_size=shape_meta["obs"][image_keys[0]]["shape"][-1],
         )
     dataset = RobomimicImageDataset(
@@ -53,7 +53,7 @@ def pipeline(args):
     for k in image_keys:
         pipe_meta["obs"][k] = shape_meta["obs"][k]
     pipe = DPImagePipeline(
-        shape_meta=pipe_meta, action_dim=args.action_dim, horizon=args.horizon,
+        shape_meta=pipe_meta, action_dim=args.task.action_dim, horizon=args.horizon,
         obs_steps=args.obs_steps, action_steps=args.action_steps, nn=args.nn,
         diffusion=args.diffusion, sample_steps=args.sample_steps,
         crop_shape=tuple(args.crop_shape), lr=args.lr,
@@ -82,7 +82,7 @@ def pipeline(args):
         )
         import h5py, json
 
-        with h5py.File(args.dataset_path) as f:
+        with h5py.File(args.task.dataset_path) as f:
             env_meta = json.loads(f["data"].attrs["env_args"])
         env = RobomimicImageWrapper(
             create_robomimic_env(env_meta, use_image_obs=True),
@@ -95,7 +95,7 @@ def pipeline(args):
             obs = env.reset()
             hist = [obs]
             total, t = 0.0, 0
-            while t < args.max_episode_steps:
+            while t < args.task.max_episode_steps:
                 window = ([hist[0]] * (To - len(hist)) + hist)[-To:]
                 batch_obs = {
                     key: np.stack([w[key] for w in window])[None]
@@ -110,7 +110,7 @@ def pipeline(args):
                     hist.append(obs)
                     total += rew
                     t += 1
-                    if done or t >= args.max_episode_steps:
+                    if done or t >= args.task.max_episode_steps:
                         break
                 if done:
                     break
