@@ -43,6 +43,22 @@ class BaseDataset:
     def sample_batch(self, rng: jax.Array, batch_size: int):
         raise NotImplementedError
 
+    def place_on_mesh(self, mesh, axis: str = "dp"):
+        """Multi-chip mode: replicate the device-resident store over the
+        mesh and emit dp-sharded batches straight from the gather (each
+        chip gathers only its batch shard locally — no per-step host
+        device_put, no cross-chip batch traffic).
+
+        Generic implementation walks the dataset's samplers; datasets with
+        bespoke device caches override this.
+        """
+        for val in vars(self).values():
+            items = val if isinstance(val, (list, tuple)) else [val]
+            for item in items:
+                if isinstance(item, (DeviceSeqSampler, DeviceTDSampler)):
+                    item.place_on_mesh(mesh, axis)
+        return self
+
 
 class DeviceSeqSampler:
     """Device-resident (paths, time, dim) store with windowed gather.
@@ -66,6 +82,20 @@ class DeviceSeqSampler:
         self.indices = jnp.asarray(np.asarray(indices, np.int32))
         self.horizon, self.stride = horizon, stride
         self._jit_cache = {}
+        self._out_sharding = None
+        self._dp_size = 1
+
+    def place_on_mesh(self, mesh, axis: str = "dp"):
+        from ..parallel.mesh import batch_sharded, replicated
+
+        rep = replicated(mesh)
+        self.arrays = {k: jax.device_put(v, rep) for k, v in self.arrays.items()}
+        self.scalars = {k: jax.device_put(v, rep) for k, v in self.scalars.items()}
+        self.indices = jax.device_put(self.indices, rep)
+        self._out_sharding = batch_sharded(mesh, axis)
+        self._dp_size = mesh.shape[axis]
+        self._jit_cache = {}
+        return self
 
     def _build(self, batch_size: int):
         H, S = self.horizon, self.stride
@@ -94,9 +124,11 @@ class DeviceSeqSampler:
                 out[name] = jax.vmap(lambda p, s: arr[p, s])(path, start)
             return out
 
-        return jax.jit(sample)
+        return jax.jit(sample, out_shardings=self._out_sharding)
 
     def sample(self, rng: jax.Array, batch_size: int):
+        assert batch_size % self._dp_size == 0, (
+            f"batch_size={batch_size} not divisible by dp size {self._dp_size}")
         if batch_size not in self._jit_cache:
             self._jit_cache[batch_size] = self._build(batch_size)
         return self._jit_cache[batch_size](rng)
@@ -109,6 +141,19 @@ class DeviceTDSampler:
         self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
         self.size = next(iter(arrays.values())).shape[0]
         self._jit_cache = {}
+        self._out_sharding = None
+        self._dp_size = 1
+
+    def place_on_mesh(self, mesh, axis: str = "dp"):
+        from ..parallel.mesh import batch_sharded, replicated
+
+        self.arrays = {
+            k: jax.device_put(v, replicated(mesh)) for k, v in self.arrays.items()
+        }
+        self._out_sharding = batch_sharded(mesh, axis)
+        self._dp_size = mesh.shape[axis]
+        self._jit_cache = {}
+        return self
 
     def _build(self, batch_size: int):
         arrays, size = self.arrays, self.size
@@ -117,9 +162,11 @@ class DeviceTDSampler:
             k = jax.random.randint(rng, (batch_size,), 0, size)
             return {name: jnp.take(arr, k, axis=0) for name, arr in arrays.items()}
 
-        return jax.jit(sample)
+        return jax.jit(sample, out_shardings=self._out_sharding)
 
     def sample(self, rng: jax.Array, batch_size: int):
+        assert batch_size % self._dp_size == 0, (
+            f"batch_size={batch_size} not divisible by dp size {self._dp_size}")
         if batch_size not in self._jit_cache:
             self._jit_cache[batch_size] = self._build(batch_size)
         return self._jit_cache[batch_size](rng)

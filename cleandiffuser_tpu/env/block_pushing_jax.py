@@ -32,9 +32,11 @@ import numpy as np
 __all__ = ["BlockPushState", "BlockPushMultimodalEnvJax", "BlockPushEnvJax",
            "generate_blockpush_demos"]
 
-# workspace (meters, matching the reference's tabletop scale)
-WS_LO = jnp.array([0.15, -0.35])
-WS_HI = jnp.array([0.75, 0.35])
+# workspace (meters, matching the reference's tabletop scale).
+# numpy, NOT jnp: module-level jnp constants initialize the JAX backend at
+# import time, which breaks platform=cpu virtual-mesh CLI runs.
+WS_LO = np.array([0.15, -0.35], np.float32)
+WS_HI = np.array([0.75, 0.35], np.float32)
 BLOCK_HALF = 0.02       # 4 cm blocks
 EFFECTOR_R = 0.015
 TARGET_R = 0.05         # goal zone radius

@@ -51,11 +51,13 @@ class DataParallelEngine:
         log = dp.update(x0, cond)        # batch auto-sharded over "dp"
     """
 
-    def __init__(self, engine, mesh: Mesh, axis: str = "dp", fsdp_axis: Optional[str] = None):
+    def __init__(self, engine, mesh: Mesh, axis: str = "dp",
+                 fsdp_axis: Optional[str] = None, fsdp_min_size: int = 2**16):
         self.engine = engine
         self.mesh = mesh
         self.axis = axis
         self.fsdp_axis = fsdp_axis
+        self.fsdp_min_size = fsdp_min_size
         self._fn_cache = {}
 
     def place(self):
@@ -63,13 +65,19 @@ class DataParallelEngine:
         assert self.engine.state is not None, "initialize the engine first"
         if self.fsdp_axis is not None:
             param_shardings = fsdp_shard_params(
-                self.engine.state.params, self.mesh, self.fsdp_axis
+                self.engine.state.params, self.mesh, self.fsdp_axis,
+                min_size=self.fsdp_min_size,
             )
+            # optimizer moments (mu/nu) are param-shaped: the same
+            # shape-driven spec chooser gives them the same shardings as
+            # their params, so per-device opt bytes shrink with the params
+            # (scalar leaves like `count` fall below min_size -> replicated)
             state_shardings = self.engine.state.replace(
                 params=param_shardings,
                 ema_params=param_shardings,
-                opt_state=jax.tree_util.tree_map(
-                    lambda _: replicated(self.mesh), self.engine.state.opt_state
+                opt_state=fsdp_shard_params(
+                    self.engine.state.opt_state, self.mesh, self.fsdp_axis,
+                    min_size=self.fsdp_min_size,
                 ),
                 step=replicated(self.mesh),
                 rng=replicated(self.mesh),
@@ -105,4 +113,7 @@ class DataParallelEngine:
         if condition is not None:
             condition = shard_batch(self.mesh, condition, self.axis)
         self.engine.state, log = fn(self.engine.state, x0, condition, wrt)
-        return {k: float(v) for k, v in log.items()}
+        # return DEVICE scalars: a float() here would force one ~30ms host
+        # sync per step through the tunnel (see runner.train_loop, which
+        # accumulates on device and fetches once per log window)
+        return log

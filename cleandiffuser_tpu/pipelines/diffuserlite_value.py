@@ -59,6 +59,11 @@ class IQLValueMultiHorizonDataset:
     def get_normalizer(self):
         return self.base.get_normalizer()
 
+    def place_on_mesh(self, mesh, axis: str = "dp"):
+        for s in self._samplers:
+            s.place_on_mesh(mesh, axis)
+        return self
+
     def sample_batch(self, rng, batch_size: int, horizon_idx: int = 0):
         out = self._samplers[horizon_idx].sample(rng, batch_size)
         return {"obs": {"state": out["obs"]}, "act": out["act"],

@@ -22,11 +22,13 @@ from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
+from cleandiffuser_tpu.parallel import place_pipeline, setup_mesh
 
 CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/adaptdiffuser/antmaze"
 
 
 def pipeline(args):
+    mesh = setup_mesh(args)  # multi-chip: must precede first device use
     set_seed(args.seed)
     save_path = Path(f"results/{args.pipeline_name}/{args.task.env_name}/")
     save_path.mkdir(parents=True, exist_ok=True)
@@ -46,6 +48,10 @@ def pipeline(args):
         classifier_gradient_steps=args.classifier_gradient_steps,
         w_cg=args.task.w_cg, temperature=args.temperature, rng=args.seed,
     )
+
+    if mesh is not None:
+        place_pipeline(pipe, mesh)
+        dataset.place_on_mesh(mesh)
 
     if args.mode == "train":
         train_loop(

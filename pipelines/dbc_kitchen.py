@@ -21,6 +21,7 @@ from cleandiffuser_tpu.pipelines import DBCPipeline
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
+from cleandiffuser_tpu.parallel import place_pipeline, setup_mesh
 
 CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dbc/kitchen"
 
@@ -41,6 +42,7 @@ def _load_or_fake(dataset_dir, obs_dim, act_dim):
 
 
 def pipeline(args):
+    mesh = setup_mesh(args)  # multi-chip: must precede first device use
     set_seed(args.seed)
     save_path = Path(f"results/{args.pipeline_name}/")
     save_path.mkdir(parents=True, exist_ok=True)
@@ -91,6 +93,10 @@ def pipeline(args):
             env.close()
             rewards.append(total)
         return {"mean_reward": float(np.mean(rewards))}
+
+    if mesh is not None:
+        place_pipeline(pipe, mesh)
+        dataset.place_on_mesh(mesh)
 
     if args.mode == "train":
         rng = jax.random.PRNGKey(args.seed)

@@ -19,11 +19,13 @@ from cleandiffuser_tpu.pipelines.dbc_image import DBCImagePipeline
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
+from cleandiffuser_tpu.parallel import place_pipeline, setup_mesh
 
 CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dbc/pusht_image"
 
 
 def pipeline(args):
+    mesh = setup_mesh(args)  # multi-chip: must precede first device use
     set_seed(args.seed)
     save_path = Path(f"results/{args.pipeline_name}/")
     save_path.mkdir(parents=True, exist_ok=True)
@@ -67,6 +69,10 @@ def pipeline(args):
                 [pos_win[:, 1:], np.asarray(obs["agent_pos"])[:, None]], axis=1)
         return {"mean_reward": float(best.mean()),
                 "mean_success": float((best >= 1.0).mean())}
+
+    if mesh is not None:
+        place_pipeline(pipe, mesh)
+        dataset.place_on_mesh(mesh)
 
     if args.mode == "train":
         rng = jax.random.PRNGKey(args.seed)

@@ -19,11 +19,13 @@ from cleandiffuser_tpu.pipelines import DBCPipeline
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
+from cleandiffuser_tpu.parallel import place_pipeline, setup_mesh
 
 CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dbc/robomimic"
 
 
 def pipeline(args):
+    mesh = setup_mesh(args)  # multi-chip: must precede first device use
     set_seed(args.seed)
     save_path = Path(f"results/{args.pipeline_name}/{args.task.task_name}/")
     save_path.mkdir(parents=True, exist_ok=True)
@@ -46,6 +48,10 @@ def pipeline(args):
         lr=args.lr, gradient_steps=args.gradient_steps, ema_rate=args.ema_rate,
         rng=args.seed,
     )
+
+    if mesh is not None:
+        place_pipeline(pipe, mesh)
+        dataset.place_on_mesh(mesh)
 
     if args.mode == "train":
         rng = jax.random.PRNGKey(args.seed)

@@ -35,6 +35,7 @@ from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.iql import IQL
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
+from cleandiffuser_tpu.parallel import place_pipeline, setup_mesh
 
 CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/diffuserlite/antmaze"
 
@@ -64,6 +65,7 @@ def antmaze_target_return(env_name: str, raw_obs: np.ndarray) -> np.ndarray:
 
 
 def pipeline(args):
+    mesh = setup_mesh(args)  # multi-chip: must precede first device use
     set_seed(args.seed)
     save_path = Path(f"results/{args.pipeline_name}/{args.task.env_name}/")
     save_path.mkdir(parents=True, exist_ok=True)
@@ -90,6 +92,10 @@ def pipeline(args):
               tau=0.7, rng=args.seed + 7)
     iql_ckpt = save_path / "iql_ckpt_latest.pkl"
 
+    if mesh is not None:
+        place_pipeline(pipe, mesh)
+        place_pipeline(iql, mesh)
+
     def val_fn(batch, level):
         return antmaze_level_values(batch, level, args.discount)
 
@@ -99,6 +105,8 @@ def pipeline(args):
 
     if args.mode == "iql_training":
         td = D4RLAntmazeTDDataset(load_d4rl_qlearning_dataset(args.task.env_name))
+        if mesh is not None:
+            td.place_on_mesh(mesh)
         train_iql(iql, td, args.iql_gradient_steps, 256, args.log_interval,
                   args.save_interval, lambda: iql.save(str(iql_ckpt)), args.seed)
         iql.save(str(iql_ckpt))
@@ -106,6 +114,8 @@ def pipeline(args):
     elif args.mode == "training":
         iql.load(str(iql_ckpt))
         dataset = IQLValueMultiHorizonDataset(base, iql)
+        if mesh is not None:
+            dataset.place_on_mesh(mesh)
         rng = jax.random.PRNGKey(args.seed)
         for step in range(args.diffusion_gradient_steps):
             rng, k = jax.random.split(rng)
@@ -123,6 +133,8 @@ def pipeline(args):
         iql.load(str(iql_ckpt))
         pipe.load(str(save_path / f"ckpt_{args.reflow_backbone_ckpt}"))
         dataset = IQLValueMultiHorizonDataset(base, iql)
+        if mesh is not None:
+            dataset.place_on_mesh(mesh)
         rng = jax.random.PRNGKey(args.seed)
         all_pairs = []
         n_batches = max(args.cond_dataset_size // args.dataset_prepare_batch_size, 1)

@@ -23,11 +23,13 @@ from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
+from cleandiffuser_tpu.parallel import place_pipeline, setup_mesh
 
 CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/synther/antmaze"
 
 
 def pipeline(args):
+    mesh = setup_mesh(args)  # multi-chip: must precede first device use
     set_seed(args.seed)
     save_path = Path(f"results/{args.pipeline_name}/{args.task.env_name}/")
     save_path.mkdir(parents=True, exist_ok=True)
@@ -42,6 +44,10 @@ def pipeline(args):
         rng=args.seed,
     )
     extra_path = save_path / "extra_transitions.npy"
+
+    if mesh is not None:
+        place_pipeline(synther, mesh)
+        dataset.place_on_mesh(mesh)
 
     if args.mode == "train_diffusion":
         train_loop(
@@ -72,6 +78,9 @@ def pipeline(args):
               "rew": mixed.rew, "tml": mixed.tml})
         agent = TD3BC(obs_dim=dataset.o_dim, act_dim=dataset.a_dim,
                       gradient_steps=args.td3bc_gradient_steps, rng=args.seed)
+        if mesh is not None:
+            place_pipeline(agent, mesh)
+            mixed.place_on_mesh(mesh)
         train_loop(
             lambda k: agent.update(mixed.sample_batch(k, args.batch_size)),
             args.td3bc_gradient_steps, args.log_interval, args.save_interval,

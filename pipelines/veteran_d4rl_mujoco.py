@@ -20,11 +20,13 @@ from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
+from cleandiffuser_tpu.parallel import place_pipeline, setup_mesh
 
 CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/veteran/mujoco"
 
 
 def pipeline(args):
+    mesh = setup_mesh(args)  # multi-chip: must precede first device use
     set_seed(args.seed)
     save_path = Path(
         f"results/{args.pipeline_name}_{args.guidance_type}/{args.task.env_name}/"
@@ -60,6 +62,10 @@ def pipeline(args):
         temperature=args.task.planner_temperature, rng=args.seed,
     )
 
+    if mesh is not None:
+        place_pipeline(pipe, mesh)
+        dataset.place_on_mesh(mesh)
+
     if args.mode == "train":
         def step(k):
             k1, k2 = jax.random.split(k)
@@ -74,6 +80,8 @@ def pipeline(args):
                    logger, args.seed)
     elif args.mode == "train_expected_value":
         td = D4RLMuJoCoTDDataset(load_d4rl_qlearning_dataset(args.task.env_name))
+        if mesh is not None:
+            td.place_on_mesh(mesh)
         train_loop(
             lambda k: pipe.train_expected_value_step(td.sample_batch(k, 256)),
             1_000_000, args.log_interval, args.save_interval,
