@@ -20,7 +20,12 @@ import numpy as np
 
 from ..dataset.fake import fake_d4rl_dataset, fake_d4rl_qlearning_dataset
 
-__all__ = ["load_d4rl_dataset", "load_d4rl_qlearning_dataset", "get_normalized_score_fn"]
+__all__ = [
+    "load_d4rl_dataset",
+    "load_d4rl_qlearning_dataset",
+    "get_normalized_score_fn",
+    "resolve_pusht_demos",
+]
 
 DATA_DIR = Path(os.environ.get("CLEANDIFFUSER_DATA", "dev/d4rl"))
 
@@ -60,6 +65,39 @@ def load_d4rl_dataset(env_name: str) -> Dict[str, np.ndarray]:
     print(f"[data] d4rl unavailable and no snapshot at {DATA_DIR}/{env_name}.npz; "
           f"using SYNTHETIC data (hermetic mode)")
     return fake_d4rl_dataset(env_name, n_steps=100_000, ep_len=1000)
+
+
+def resolve_pusht_demos(args, with_images: bool = False):
+    """Resolve PushT demonstration data for the dp/dbc CLIs.
+
+    Resolution order (mirrors the d4rl helpers above):
+    1. an existing file at `args.dataset_path` (reference zarr layout or
+       an .npz export of it — drop in `pusht_cchi_v7_replay` to train on
+       the real human demos with zero code change);
+    2. on-device MPC expert demos (`demo_expert=true`, the default —
+       every episode reaches the 0.95-coverage success threshold), cached
+       to `args.dataset_path` so later runs and eval reuse them;
+    3. the cheap scripted pusher (`demo_expert=false`, hermetic tests).
+    """
+    path = Path(args.dataset_path)
+    if path.exists():
+        return str(path)
+    from ..dataset.pusht import generate_pusht_demos
+
+    expert = bool(getattr(args, "demo_expert", True))
+    n_episodes = int(getattr(args, "demo_episodes", 64))
+    max_steps = int(getattr(args, "demo_max_steps", 300 if expert else 200))
+    kind = "MPC-expert" if expert else "scripted"
+    print(f"[data] no dataset at {path}; generating {n_episodes} {kind} "
+          f"JAX demos (cached to {path})")
+    rb = generate_pusht_demos(
+        n_episodes=n_episodes, max_steps=max_steps, seed=args.seed,
+        with_images=with_images, expert=expert,
+    )
+    if path.suffix == ".npz":
+        path.parent.mkdir(parents=True, exist_ok=True)
+        rb.save_npz(str(path))
+    return rb
 
 
 def load_d4rl_qlearning_dataset(env_name: str) -> Dict[str, np.ndarray]:

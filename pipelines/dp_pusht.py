@@ -16,7 +16,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-from cleandiffuser_tpu.dataset import PushTStateDataset, generate_pusht_demos
+from cleandiffuser_tpu.dataset import PushTStateDataset
+from cleandiffuser_tpu.pipelines.data_loading import resolve_pusht_demos
 from cleandiffuser_tpu.env.pusht_jax import PushTEnvJax
 from cleandiffuser_tpu.pipelines import DPPipeline
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
@@ -34,12 +35,7 @@ def pipeline(args):
     save_path.mkdir(parents=True, exist_ok=True)
     logger = Logger(save_path, args.to_dict())
 
-    dataset_path = Path(args.dataset_path)
-    if dataset_path.exists():
-        source = str(dataset_path)
-    else:
-        print(f"[data] no dataset at {dataset_path}; generating scripted JAX demos")
-        source = generate_pusht_demos(n_episodes=64, max_steps=200, seed=args.seed)
+    source = resolve_pusht_demos(args)
 
     dataset = PushTStateDataset(
         source, horizon=args.horizon,

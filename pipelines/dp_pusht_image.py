@@ -13,7 +13,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 import numpy as np
 
-from cleandiffuser_tpu.dataset import PushTImageDataset, generate_pusht_demos
+from cleandiffuser_tpu.dataset import PushTImageDataset
+from cleandiffuser_tpu.pipelines.data_loading import resolve_pusht_demos
 from cleandiffuser_tpu.env.pusht_jax import PushTImageEnvJax
 from cleandiffuser_tpu.pipelines.dp_image import DPImagePipeline
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
@@ -31,10 +32,7 @@ def pipeline(args):
     save_path.mkdir(parents=True, exist_ok=True)
     logger = Logger(save_path, args.to_dict())
 
-    dataset_path = Path(args.dataset_path)
-    source = (str(dataset_path) if dataset_path.exists()
-              else generate_pusht_demos(n_episodes=16, max_steps=100, seed=args.seed,
-                                        with_images=True, image_size=96))
+    source = resolve_pusht_demos(args, with_images=True)
     dataset = PushTImageDataset(
         source, horizon=args.horizon, pad_before=args.obs_steps - 1,
         pad_after=args.action_steps - 1,
