@@ -132,7 +132,8 @@ class BaseClassifier:
         if key not in self._fn_cache:
             self._fn_cache[key] = self._make_update_fn(update_ema)
         self.state, log = self._fn_cache[key](self.state, x, noise, y)
-        return {k: float(v) for k, v in log.items()}
+        # device scalars: see DiffusionModel.update (no per-step host sync)
+        return log
 
     def _init_example(self, x, t, y):
         """(x, t, y) used for lazy init; subclasses with structured labels

@@ -182,7 +182,10 @@ class DiffusionModel:
         if key not in self._fn_cache:
             self._fn_cache[key] = self._make_update_fn(update_ema, wrt is not None)
         self.state, log = self._fn_cache[key](self.state, jnp.asarray(x0), condition, wrt)
-        return {k: float(v) for k, v in log.items()}
+        # return DEVICE scalars: float() here would force one ~30ms host
+        # sync per train step through the tunnel; loops accumulate on device
+        # and fetch once per log window (runner.train_loop)
+        return log
 
     def ema_update(self):
         self.state = self.state.replace(

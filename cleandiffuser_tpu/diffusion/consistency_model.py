@@ -322,7 +322,8 @@ class ContinuousConsistencyModel(DiffusionModel):
         )
         if loss_type == "training":
             self.cur_logger.incremental_update_k()
-        return {k: float(v) for k, v in log.items()}
+        # device scalars: see DiffusionModel.update (no per-step host sync)
+        return log
 
     # ---------------- Sampling ----------------
     def build_sample_fn(self, sample_steps: int = 5, cfg_mode: str = "uncond",

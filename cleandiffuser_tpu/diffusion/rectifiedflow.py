@@ -114,7 +114,8 @@ class _BaseRectifiedFlow(DiffusionModel):
         if key not in self._fn_cache:
             self._fn_cache[key] = self._make_update_fn(update_ema, wrt is not None, x1 is not None)
         self.state, log = self._fn_cache[key](self.state, jnp.asarray(x0), condition, wrt, x1)
-        return {k: float(v) for k, v in log.items()}
+        # device scalars: see DiffusionModel.update (no per-step host sync)
+        return log
 
     # ---------------- sampling ----------------
     def _sample_times(self, sample_step_schedule: str, sample_steps: int, warm_level):

@@ -112,7 +112,7 @@ class _BaseInvDynamic:
         self.params, self.opt_state, loss = self._jit_update(
             self.params, self.opt_state, sub, o, a, o_next
         )
-        return {"loss": float(loss)}
+        return {"loss": loss}  # device scalar (no per-step host sync)
 
     def predict(self, o, o_next):
         return self._jit_predict(self.params, o, o_next)
@@ -207,7 +207,7 @@ class EnsembleMlpInvDynamic:
 
     def update(self, o, a, o_next):
         self.params, self.opt_state, loss = self._jit_update(self.params, self.opt_state, o, a, o_next)
-        return {"loss": float(loss)}
+        return {"loss": loss}  # device scalar (no per-step host sync)
 
     def predict(self, o, o_next):
         return self._jit_predict(self.params, o, o_next)

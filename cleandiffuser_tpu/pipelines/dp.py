@@ -124,6 +124,38 @@ class DPPipeline:
         naction = batch["action"]
         return self.agent.update(naction, self._condition_of(nobs))
 
+    def make_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused trainer: `n_steps` x (device batch gather + grad/opt/EMA
+        update) compiled into ONE `lax.scan` program. Per-step Python
+        dispatch disappears entirely — on a tunneled chip the per-dispatch
+        cost (~3ms) otherwise dominates the ~1ms compute of this model.
+
+        Returns `run(rng) -> log` which advances the engine state by
+        `n_steps` and yields window-mean device scalars.
+        """
+        gather = dataset.gather_fn(batch_size)
+        raw = self.agent._make_update_fn(update_ema=True, has_wrt=False)
+        raw = raw.__wrapped__ if hasattr(raw, "__wrapped__") else raw
+
+        def fused(state, rng):
+            def body(state, k):
+                batch = gather(k)
+                cond = self._condition_of(batch["obs"]["state"])
+                state, log = raw(state, batch["action"], cond, None)
+                return state, log
+
+            keys = jax.random.split(rng, n_steps)
+            state, logs = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(lambda x: x.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            self.agent.state, log = fused_jit(self.agent.state, rng)
+            return log
+
+        return run
+
     # ------------------------------------------------------------------
     def _build_sample(self):
         if self.diffusion_kind == "ddpm":

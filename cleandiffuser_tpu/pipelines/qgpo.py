@@ -144,7 +144,7 @@ class QGPOPipeline:
         self.q_params, self.q_target_params, self.q_opt_state, loss = self._fn_cache["q_step"](
             self.q_params, self.q_target_params, self.q_opt_state, batch
         )
-        return {"q_loss": float(loss)}
+        return {"q_loss": loss}  # device scalar (no per-step host sync)
 
     # ------------------------------------------------------------------
     def cep_train_step(self, batch):

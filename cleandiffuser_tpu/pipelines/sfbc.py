@@ -103,7 +103,7 @@ class SfBCPipeline:
             self.critic_params, self.critic_opt_state,
             jnp.asarray(obs), jnp.asarray(act), jnp.asarray(val),
         )
-        return {"critic_loss": float(loss)}
+        return {"critic_loss": loss}  # device scalar (no per-step host sync)
 
     # ------------------------------------------------------------------
     def _get_mc_eval_fn(self, traj_len: int, sampling_steps: int):

@@ -175,7 +175,8 @@ class TD3BC:
 
     def update(self, batch):
         self.state, log = self._jit_update(self.state, batch)
-        return {k: float(v) for k, v in log.items()}
+        # device scalars: see DiffusionModel.update (no per-step host sync)
+        return log
 
     def act(self, obs):
         return self._jit_act(self.state.actor_params, jnp.asarray(obs))

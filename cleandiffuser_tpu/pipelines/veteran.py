@@ -247,7 +247,7 @@ class VeteranPipeline:
         self.critic_params, self.critic_opt_state, loss, pred = self._fn_cache["critic_step"](
             self.critic_params, self.critic_opt_state, data, val
         )
-        return {"val_loss": float(loss), "val_pred": float(pred)}
+        return {"val_loss": loss, "val_pred": pred}  # device scalars
 
     # ------------------------------------------------------------------
     def train_expected_value_step(self, batch):
@@ -275,7 +275,8 @@ class VeteranPipeline:
 
             self._fn_cache["ev_step"] = jax.jit(ev_step, donate_argnums=0)
         self.ev_state, log = self._fn_cache["ev_step"](self.ev_state, batch)
-        return {k: float(v) for k, v in log.items()}
+        # device scalars: see DiffusionModel.update (no per-step host sync)
+        return log
 
     # ------------------------------------------------------------------
     def act(self, obs_normed, num_candidates: int = 32, rng: Optional[jax.Array] = None):

@@ -121,11 +121,11 @@ class IQL:
     # ---- stateful API (parity with reference) ----------------------------
     def update_V(self, obs, act) -> float:
         self.state, loss = self._jit_update_v(self.state, obs, act)
-        return float(loss)
+        return loss  # device scalar (no per-step host sync)
 
     def update_Q(self, obs, act, rew, obs_next, done) -> float:
         self.state, loss = self._jit_update_q(self.state, obs, act, rew, obs_next, done)
-        return float(loss)
+        return loss  # device scalar (no per-step host sync)
 
     def q(self, obs, act):
         return self._jit_q(self.state, obs, act)

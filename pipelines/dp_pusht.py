@@ -56,27 +56,49 @@ def pipeline(args):
 
     if args.mode == "train":
         rng = jax.random.PRNGKey(args.seed)
-        losses = []
-        for step in range(args.gradient_steps):
-            rng, k = jax.random.split(rng)
-            log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
-            losses.append(log["loss"])
-            if (step + 1) % args.log_freq == 0:
-                m = {"step": step + 1, "avg_diffusion_loss": sum(losses) / len(losses)}
-                print(m)
-                logger.log(m, "train")
+        fused = (mesh is None and args.save_freq % args.log_freq == 0
+                 and args.eval_freq % args.log_freq == 0
+                 and args.gradient_steps % args.log_freq == 0)
+        if fused:
+            # one XLA program per log window: gather+update x log_freq
+            train_window = pipe.make_train_scan(dataset, args.batch_size,
+                                                args.log_freq)
+        import time
+        t_window = time.time()
+        step = 0
+        while step < args.gradient_steps:
+            if fused:
+                rng, k = jax.random.split(rng)
+                log = train_window(k)
+                step += args.log_freq
+                avg_loss = float(log["loss"])
+            else:
                 losses = []
-            if (step + 1) % args.save_freq == 0:
-                pipe.save(str(save_path / f"ckpt_{step + 1}"))
+                window = min(args.log_freq, args.gradient_steps - step)
+                for _ in range(window):
+                    rng, k = jax.random.split(rng)
+                    log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
+                    losses.append(log["loss"])
+                step += window
+                avg_loss = float(sum(losses)) / len(losses)
+            now = time.time()
+            m = {"step": step, "avg_diffusion_loss": avg_loss,
+                 "steps_per_sec": round(args.log_freq / max(now - t_window, 1e-9), 1)}
+            t_window = now
+            print(m)
+            logger.log(m, "train")
+            if step % args.save_freq == 0:
+                pipe.save(str(save_path / f"ckpt_{step}"))
                 pipe.save(str(save_path / "ckpt_latest"))
-            if (step + 1) % args.eval_freq == 0:
+            if step % args.eval_freq == 0:
                 mean_rew, mean_success = pipe.evaluate_on_device(
                     env, dataset.normalizer, num_envs=args.num_envs,
                     max_episode_steps=args.max_episode_steps,
                 )
-                m = {"step": step + 1, "mean_reward": mean_rew, "mean_success": mean_success}
+                m = {"step": step, "mean_reward": mean_rew, "mean_success": mean_success}
                 print(m)
                 logger.log(m, "inference")
+                t_window = time.time()
 
     elif args.mode == "inference":
         pipe.load(str(save_path / "ckpt_latest"))

@@ -74,7 +74,7 @@ def pipeline(args):
             log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
             losses.append(log["loss"])
             if (step + 1) % args.log_freq == 0:
-                m = {"step": step + 1, "avg_loss": sum(losses) / len(losses)}
+                m = {"step": step + 1, "avg_loss": float(sum(losses)) / len(losses)}
                 print(m)
                 logger.log(m, "train")
                 losses = []
