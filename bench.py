@@ -16,9 +16,15 @@ comparison against A100 PyTorch later.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# jax is pre-imported at interpreter startup here, so JAX_PLATFORMS from the
+# environment is ignored; BENCH_PLATFORM=cpu switches in-process (dev smokes)
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,6 +74,31 @@ def round_trip_floor():
     return (time.perf_counter() - t0) / 10
 
 
+# TPU v5e peak: 1.97e14 bf16 FLOP/s per chip (jax-ml.github.io/scaling-book
+# hardware table). f32 compute paths understate MFU against this denominator
+# (the MXU runs f32 via passes); that conservatism is intentional.
+PEAK_FLOPS = {"tpu": 1.97e14}
+
+
+def flops_of(fn, *args) -> float:
+    """XLA-reported flops of one call of `fn` (compiled cost analysis)."""
+    try:
+        c = jax.jit(fn).lower(*args).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def mfu_pct(flops_per_call: float, sec_per_call: float):
+    peak = PEAK_FLOPS.get(jax.devices()[0].platform)
+    if not peak or not flops_per_call or sec_per_call <= 0:
+        return None
+    return round(100.0 * flops_per_call / sec_per_call / peak, 2)
+
+
 def bench_planner(name, nn_diffusion, x_shape, batch, steps, repeat=10,
                   floor=0.0, cond_dim=None, bf16=False):
     """Throughput of a trajectory-planner sampling program (plans/sec)."""
@@ -94,8 +125,205 @@ def bench_planner(name, nn_diffusion, x_shape, batch, steps, repeat=10,
 
     t = (time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
                  n_warmup=1, n_iters=3) - floor) / repeat
-    return {f"{name}_plans_per_sec": round(batch / t, 1),
-            f"{name}_ms_per_batch": round(t * 1e3, 3)}
+    fl = flops_of(
+        lambda p, r: sample_fn(p, None, r, prior)[0].sum(),
+        engine.state.ema_params, jax.random.PRNGKey(0),
+    )
+    out = {f"{name}_plans_per_sec": round(batch / t, 1),
+           f"{name}_ms_per_batch": round(t * 1e3, 3)}
+    m = mfu_pct(fl, t)
+    if m is not None:
+        out[f"{name}_mfu_pct"] = m
+    return out
+
+
+def bench_sampler_family(name, engine, sample_kwargs, prior, floor,
+                         repeat=10, cond=None):
+    """Throughput + MFU of an engine's fused sampling program."""
+    sample_fn = engine.build_sample_fn(**sample_kwargs)
+    kw = {} if cond is None else {"condition_cfg": cond, "w_cfg": 1.0}
+
+    @jax.jit
+    def run_many(params, r):
+        def body(carry, _):
+            r, acc = carry
+            r, k = jax.random.split(r)
+            x, _ = sample_fn(params, None, k, prior, **kw)
+            return (r, acc + x.sum()), None
+
+        (_, acc), _ = jax.lax.scan(body, (r, 0.0), None, length=repeat)
+        return acc
+
+    t = (time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
+                 n_warmup=1, n_iters=3) - floor) / repeat
+    fl = flops_of(
+        lambda p, r: sample_fn(p, None, r, prior, **kw)[0].sum(),
+        engine.state.ema_params, jax.random.PRNGKey(0),
+    )
+    batch = prior.shape[0]
+    out = {f"{name}_samples_per_sec": round(batch / t, 1),
+           f"{name}_ms_per_batch": round(t * 1e3, 3)}
+    m = mfu_pct(fl, t)
+    if m is not None:
+        out[f"{name}_mfu_pct"] = m
+    return out
+
+
+def extended_benches(floor):
+    """VERDICT r1 item 5: bench breadth — EDM heun / RF 1-NFE (the
+    DiffuserLite real-time claim, ref diffuserlite_d4rl_mujoco.py:259) /
+    consistency 2-NFE samplers, DP ChiUNet fused train window, DD DiT
+    train step, and the fully on-device DP receding-horizon eval."""
+    import numpy as np
+
+    from cleandiffuser_tpu.diffusion import (
+        ContinuousConsistencyModel,
+        ContinuousEDM,
+        ContinuousRectifiedFlow,
+    )
+    from cleandiffuser_tpu.nn_diffusion import DiT1d, JannerUNet1d
+
+    out = {}
+    H, D = 32, 23  # diffuser mujoco trajectory shape (obs 17 + act 6)
+    B = 50 * 64
+
+    # --- EDM heun (2 NFE/step) at diffuser planner scale ---
+    try:
+        edm = ContinuousEDM(
+            JannerUNet1d(in_dim=D, model_dim=32, emb_dim=32, kernel_size=5),
+            rng=0)
+        prior = jnp.zeros((B, H, D))
+        edm.init(prior)
+        out.update(bench_sampler_family(
+            "edm_heun_janner_h32", edm,
+            dict(solver="heun", sample_steps=20, cfg_mode="uncond",
+                 final_logp=False),
+            prior, floor, repeat=3))
+    except Exception as e:
+        out["edm_bench_error"] = str(e)[:160]
+
+    # --- RF 1-NFE: DiffuserLite real-time plan rate (DiT1d, leaf level) ---
+    try:
+        rf = ContinuousRectifiedFlow(
+            DiT1d(in_dim=D, emb_dim=128, d_model=256, n_heads=8, depth=2,
+                  timestep_emb_type="fourier"),
+            rng=0)
+        prior_rf = jnp.zeros((50, 9, D))  # 50 envs, L=9 diffuserlite level
+        rf.init(prior_rf)
+        out.update(bench_sampler_family(
+            "rf_1nfe_dit_l9", rf,
+            dict(sample_steps=1, cfg_mode="uncond"),
+            prior_rf, floor, repeat=50))
+    except Exception as e:
+        out["rf_bench_error"] = str(e)[:160]
+
+    # --- consistency model 2-NFE ---
+    try:
+        from cleandiffuser_tpu.nn_diffusion import DQLMlp
+
+        cm = ContinuousConsistencyModel(
+            DQLMlp(obs_dim=OBS_DIM, act_dim=ACT_DIM, emb_dim=64), rng=0)
+        prior_cm = jnp.zeros((BATCH, ACT_DIM))
+        obs_cm = jnp.asarray(np.random.randn(BATCH, OBS_DIM), jnp.float32)
+        cm.init(prior_cm, obs_cm)
+        out.update(bench_sampler_family(
+            "consistency_2nfe_dqlmlp", cm,
+            dict(sample_steps=2, cfg_mode="cond"),
+            prior_cm, floor, repeat=20, cond=obs_cm))
+    except Exception as e:
+        out["cm_bench_error"] = str(e)[:160]
+
+    # --- DP ChiUNet fused train window (gather+update in one scan) ---
+    try:
+        from cleandiffuser_tpu.dataset import PushTStateDataset, generate_pusht_demos
+        from cleandiffuser_tpu.pipelines import DPPipeline
+
+        rb = generate_pusht_demos(n_episodes=8, max_steps=60, seed=0)
+        ds = PushTStateDataset(rb, horizon=16, pad_before=1, pad_after=7)
+        pipe = DPPipeline(obs_dim=5, action_dim=2, horizon=16, obs_steps=2,
+                          action_steps=8, nn="chi_unet", diffusion="ddpm",
+                          sample_steps=5, gradient_steps=10_000, rng=0)
+        N = 100
+        train_window = pipe.make_train_scan(ds, 256, N)
+        train_window(jax.random.PRNGKey(0))  # compile
+        t0 = time.perf_counter()
+        log = train_window(jax.random.PRNGKey(1))
+        _ = float(log["loss"])
+        t = (time.perf_counter() - t0 - floor) / N
+        out["dp_chiunet_train_steps_per_sec"] = round(1.0 / t, 1)
+        out["dp_chiunet_train_ms_per_step"] = round(t * 1e3, 3)
+        raw = pipe.agent._make_update_fn(update_ema=True, has_wrt=False)
+        raw = raw.__wrapped__ if hasattr(raw, "__wrapped__") else raw
+        batch = ds.sample_batch(jax.random.PRNGKey(2), 256)
+        fl = flops_of(
+            lambda s, x, c: raw(s, x, c, None)[1]["loss"],
+            pipe.agent.state, batch["action"],
+            batch["obs"]["state"][:, :2, :])
+        m = mfu_pct(fl, t)
+        if m is not None:
+            out["dp_chiunet_train_mfu_pct"] = m
+
+        # --- fully on-device receding-horizon eval (policy + env steps) ---
+        from cleandiffuser_tpu.env.pusht_jax import PushTEnvJax
+
+        env = PushTEnvJax()
+        E, T = 50, 296
+        t0 = time.perf_counter()
+        pipe.evaluate_on_device(env, ds.normalizer, num_envs=E,
+                                max_episode_steps=300)
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pipe.evaluate_on_device(env, ds.normalizer, num_envs=E,
+                                max_episode_steps=300)
+        t_eval = time.perf_counter() - t0 - floor
+        out["dp_eval_env_steps_per_sec"] = round(E * T / t_eval, 1)
+        out["dp_eval_s_per_50env_episode"] = round(t_eval, 3)
+        out["dp_eval_compile_s"] = round(t_first - t_eval, 1)
+    except Exception as e:
+        out["dp_bench_error"] = str(e)[:160]
+
+    # --- DD DiT train step ---
+    try:
+        from cleandiffuser_tpu.diffusion import DiscreteDiffusionSDE as DDS
+
+        dit = DDS(
+            DiT1d(in_dim=17, emb_dim=128, d_model=320, n_heads=10, depth=2,
+                  timestep_emb_type="fourier"),
+            diffusion_steps=20, rng=0)
+        x_ex = jnp.zeros((64, 32, 17))
+        dit.init(x_ex)
+        raw = dit._make_update_fn(update_ema=True, has_wrt=False)
+        raw = raw.__wrapped__ if hasattr(raw, "__wrapped__") else raw
+        N = 100
+
+        @jax.jit
+        def train_many(state, r):
+            def body(carry, k):
+                state = carry
+                x = jax.random.normal(k, x_ex.shape)
+                state, log = raw(state, x, None, None)
+                return state, log["loss"]
+
+            keys = jax.random.split(r, N)
+            state, losses = jax.lax.scan(body, state, keys)
+            return state, losses.mean()
+
+        state2, l = train_many(dit.state, jax.random.PRNGKey(0))
+        _ = float(l)
+        t0 = time.perf_counter()
+        state2, l = train_many(state2, jax.random.PRNGKey(1))
+        _ = float(l)
+        t = (time.perf_counter() - t0 - floor) / N
+        out["dd_dit_train_steps_per_sec"] = round(1.0 / t, 1)
+        fl = flops_of(
+            lambda s, x: raw(s, x, None, None)[1]["loss"], dit.state, x_ex)
+        m = mfu_pct(fl, t)
+        if m is not None:
+            out["dd_dit_train_mfu_pct"] = m
+    except Exception as e:
+        out["dd_train_bench_error"] = str(e)[:160]
+
+    return out
 
 
 def main():
@@ -168,6 +396,18 @@ def main():
     from cleandiffuser_tpu.nn_diffusion import DiT1d, JannerUNet1d
 
     planner_detail = {}
+    fl_dql = flops_of(
+        lambda p, r: sample_fn(p, None, r, prior, condition_cfg=obs,
+                               w_cfg=1.0)[0].sum(),
+        engine.state.ema_params, rng,
+    )
+    m = mfu_pct(fl_dql, t_fused)
+    if m is not None:
+        planner_detail["dql_sampling_mfu_pct"] = m
+    try:
+        planner_detail.update(extended_benches(floor))
+    except Exception as e:
+        planner_detail["extended_bench_error"] = str(e)[:200]
     try:
         planner_detail.update(
             bench_planner(

@@ -26,7 +26,18 @@ __all__ = ["AntMazeD4RLWrapper", "PointMazeD4RLWrapper",
            "ANTMAZE_GYM_IDS", "MAZE2D_GYM_IDS"]
 
 # d4rl env-name -> gymnasium_robotics id. "play" maps to the fixed-goal
-# layout, "diverse" to the diverse-goal (`Diverse_G`) layout.
+# layout, "diverse" to the diverse-goal (`Diverse_G`) layout. No
+# UMaze_Diverse variant ships with gymnasium_robotics, so umaze-diverse
+# passes a custom maze_map ('c' = combined reset/goal cells across all open
+# cells — d4rl's umaze-diverse samples goals over the open maze likewise).
+U_MAZE_DIVERSE_MAP = [
+    [1, 1, 1, 1, 1],
+    [1, "c", "c", "c", 1],
+    [1, 1, 1, "c", 1],
+    [1, "c", "c", "c", 1],
+    [1, 1, 1, 1, 1],
+]
+
 ANTMAZE_GYM_IDS = {
     "antmaze-umaze-v2": "AntMaze_UMaze-v5",
     "antmaze-umaze-diverse-v2": "AntMaze_UMaze-v5",
@@ -123,8 +134,11 @@ def make_antmaze_env(env_name: str, render_mode=None):
     gid = ANTMAZE_GYM_IDS.get(env_name)
     if gid is None:
         raise ValueError(f"no gymnasium mapping for {env_name}")
+    kwargs = {}
+    if env_name == "antmaze-umaze-diverse-v2":
+        kwargs["maze_map"] = U_MAZE_DIVERSE_MAP
     return AntMazeD4RLWrapper(
-        gym.make(gid, continuing_task=False, render_mode=render_mode)
+        gym.make(gid, continuing_task=False, render_mode=render_mode, **kwargs)
     )
 
 

@@ -66,6 +66,8 @@ class PushTExpertMPC:
         n_elites: int = 16,
         n_iters: int = 4,
         sigma: float = 32.0,
+        exec_noise_prob: float = 0.0,
+        exec_noise_sigma: float = 25.0,
     ):
         self.env = env or PushTEnvJax()
         self.H = horizon
@@ -73,6 +75,14 @@ class PushTExpertMPC:
         self.E = n_elites
         self.iters = n_iters
         self.sigma = sigma
+        # DART-style execution noise: with prob p a control step executes a
+        # perturbed waypoint while the CLEAN planned action is recorded.
+        # The buffer then contains off-distribution states with corrective
+        # expert labels — recovery data a pure expert rollout never visits
+        # (the policy trained on noiseless demos has no way back once it
+        # drifts off the demo manifold).
+        self.exec_noise_prob = exec_noise_prob
+        self.exec_noise_sigma = exec_noise_sigma
         self.goal_kp = jnp.asarray(_GOAL_KP)
 
     # ------------------------------------------------------------------
@@ -189,10 +199,19 @@ class PushTExpertMPC:
 
         def control_step(carry, k):
             state, mean = carry
+            k, k_coin, k_noise = jax.random.split(k, 3)
             obs = self.env.get_obs(state)
             kp = self.env.keypoints(state)
             action, mean = self.plan(state, mean, k)
-            state, _, rew, done = self.env.step(state, action)
+            exec_action = action
+            if self.exec_noise_prob > 0.0:
+                coin = jax.random.bernoulli(
+                    k_coin, self.exec_noise_prob, (batch, 1))
+                noise = jax.random.normal(k_noise, action.shape) * self.exec_noise_sigma
+                exec_action = jnp.clip(
+                    action + jnp.where(coin, noise, 0.0),
+                    5.0 + AGENT_R, 506.0 - AGENT_R)
+            state, _, rew, done = self.env.step(state, exec_action)
             return (state, mean), {
                 "obs": obs, "action": action, "keypoint": kp,
                 "reward": rew, "done": done,

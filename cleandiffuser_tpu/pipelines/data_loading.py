@@ -90,9 +90,14 @@ def resolve_pusht_demos(args, with_images: bool = False):
     kind = "MPC-expert" if expert else "scripted"
     print(f"[data] no dataset at {path}; generating {n_episodes} {kind} "
           f"JAX demos (cached to {path})")
+    mpc_kwargs = None
+    noise = float(getattr(args, "demo_noise", 0.0))
+    if noise > 0.0:
+        mpc_kwargs = {"exec_noise_prob": noise}  # DART recovery data
     rb = generate_pusht_demos(
         n_episodes=n_episodes, max_steps=max_steps, seed=args.seed,
-        with_images=with_images, expert=expert,
+        with_images=with_images, expert=expert, mpc_kwargs=mpc_kwargs,
+        batch=int(getattr(args, "demo_batch", 16)),
     )
     if path.suffix == ".npz":
         path.parent.mkdir(parents=True, exist_ok=True)

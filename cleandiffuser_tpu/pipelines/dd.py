@@ -103,7 +103,9 @@ class DDPipeline:
         obs, act, val = batch["obs"]["state"], batch["act"], batch["val"]
         val = val / self.return_scale + self.val_shift
         log = self.agent.update(obs, val)
-        if int(self.agent.state.step) <= self.invdyn_gradient_steps:
+        # python-side counter: int(state.step) would host-sync every step
+        self._py_step = getattr(self, "_py_step", 0) + 1
+        if self._py_step <= self.invdyn_gradient_steps:
             o = obs[:, :-1].reshape(-1, self.obs_dim)
             a = act[:, :-1].reshape(-1, self.act_dim)
             o2 = obs[:, 1:].reshape(-1, self.obs_dim)

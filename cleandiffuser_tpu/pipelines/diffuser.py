@@ -105,7 +105,9 @@ class DiffuserPipeline:
         obs, act, val = batch["obs"]["state"], batch["act"], batch["val"]
         x = jnp.concatenate([obs, act], axis=-1)
         log = self.agent.update(x)
-        if int(self.agent.state.step) <= self.classifier_gradient_steps:
+        # python-side counter: int(state.step) would host-sync every step
+        self._py_step = getattr(self, "_py_step", 0) + 1
+        if self._py_step <= self.classifier_gradient_steps:
             xt, t, _ = self.agent.add_noise(self.agent.next_sample_rng(), x)
             log_cls = self.classifier.update(xt, t, val)
             log["classifier_loss"] = log_cls["loss"]

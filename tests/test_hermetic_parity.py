@@ -1,0 +1,122 @@
+"""Hermetic score-parity benchmark (VERDICT r1 item 4).
+
+d4rl is not installable here, so algorithm quality is asserted against the
+Goal2D task (env/goal2d.py) whose optimal return is ANALYTIC: normalized
+score 1.0 = closed-form optimum, 0.0 = uniform-random policy. The mixture
+behavior data scores ~0.49, so any algorithm beating ~0.6 is provably
+stitching/filtering beyond behavior cloning, and the RL policies must
+reach >=85% of the true optimum. These thresholds were measured at ~0.92
+(DQL), ~0.91 (IDQL), ~0.92 (EDP 6k steps), ~0.73 (Diffuser, myopic
+horizon 8 of a 40-step task) on the CPU backend with the seeds below;
+failures indicate a real algorithm regression, not noise.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cleandiffuser_tpu.dataset.d4rl_mujoco import (
+    D4RLMuJoCoDataset,
+    D4RLMuJoCoTDDataset,
+)
+from cleandiffuser_tpu.dataset.hermetic import (
+    goal2d_qlearning_dataset,
+    goal2d_sequence_dataset,
+)
+from cleandiffuser_tpu.env.goal2d import (
+    evaluate_policy,
+    normalized_score_fn,
+    optimal_return,
+)
+
+
+@pytest.fixture(scope="module")
+def score():
+    return normalized_score_fn()
+
+
+@pytest.fixture(scope="module")
+def td_dataset():
+    return D4RLMuJoCoTDDataset(goal2d_qlearning_dataset(n_episodes=1000, seed=0))
+
+
+def _train(pipe, dataset, steps, batch):
+    rng = jax.random.PRNGKey(0)
+    for _ in range(steps):
+        rng, k = jax.random.split(rng)
+        pipe.train_step(dataset.sample_batch(k, batch))
+
+
+def _policy_score(pipe, norm, score, n_cand, num_envs=128, **act_kw):
+    def act_fn(k, obs):
+        return pipe.act(np.asarray(norm.normalize(obs)),
+                        num_candidates=n_cand, rng=k, **act_kw)
+
+    return score(evaluate_policy(act_fn, num_envs=num_envs, seed=1))
+
+
+def test_analytic_anchors(score):
+    # sanity: optimal policy == 1.0 by construction, behavior data ~0.49
+    s0 = jax.random.uniform(jax.random.PRNGKey(1), (128, 2), minval=-1, maxval=1)
+    assert float(optimal_return(s0).mean()) < 0.0
+    data = goal2d_qlearning_dataset(n_episodes=500, seed=3)
+    behavior = score(float(data["rewards"].sum()) / 500)
+    assert 0.35 < behavior < 0.65
+
+
+def test_dql_reaches_near_optimum(td_dataset, score):
+    from cleandiffuser_tpu.pipelines.dql import DQLPipeline
+
+    pipe = DQLPipeline(obs_dim=2, act_dim=2, emb_dim=32, hidden_dim=128,
+                       gradient_steps=3000, discount=0.95, eta=1.0, rng=0)
+    _train(pipe, td_dataset, 3000, 128)
+    s = _policy_score(pipe, td_dataset.get_normalizer(), score, 50)
+    assert s >= 0.85, f"DQL normalized score {s:.3f} < 0.85"
+
+
+def test_idql_reaches_near_optimum(td_dataset, score):
+    from cleandiffuser_tpu.pipelines.idql import IDQLPipeline
+
+    pipe = IDQLPipeline(obs_dim=2, act_dim=2, emb_dim=32, actor_hidden_dim=128,
+                        critic_hidden_dim=128, actor_n_blocks=2,
+                        gradient_steps=3000, discount=0.95, iql_tau=0.7, rng=0)
+    _train(pipe, td_dataset, 3000, 128)
+    s = _policy_score(pipe, td_dataset.get_normalizer(), score, 64)
+    assert s >= 0.85, f"IDQL normalized score {s:.3f} < 0.85"
+
+
+def test_edp_reaches_near_optimum(td_dataset, score):
+    from cleandiffuser_tpu.pipelines.edp import EDPPipeline
+
+    pipe = EDPPipeline(obs_dim=2, act_dim=2, emb_dim=32, hidden_dim=128,
+                       gradient_steps=6000, discount=0.95, eta=1.0, rng=0)
+    _train(pipe, td_dataset, 6000, 128)
+    s = _policy_score(pipe, td_dataset.get_normalizer(), score, 50)
+    assert s >= 0.85, f"EDP normalized score {s:.3f} < 0.85"
+
+
+def test_diffuser_beats_behavior(score):
+    from cleandiffuser_tpu.pipelines.diffuser import DiffuserPipeline
+
+    ds = D4RLMuJoCoDataset(goal2d_sequence_dataset(n_episodes=1000, seed=0),
+                           terminal_penalty=0.0, horizon=8,
+                           max_path_length=40, discount=0.99)
+    GS = 2500
+    pipe = DiffuserPipeline(obs_dim=2, act_dim=2, horizon=8, model_dim=32,
+                            dim_mult=(1, 2), diffusion_steps=20,
+                            sampling_steps=10, terminal_penalty=0.0,
+                            discount=0.99, diffusion_gradient_steps=GS,
+                            classifier_gradient_steps=GS, w_cg=5.0, rng=0)
+    _train(pipe, ds, GS, 64)
+    norm = ds.get_normalizer()
+
+    def act_fn(k, obs):
+        act, _ = pipe.act(np.asarray(norm.normalize(obs)),
+                          num_candidates=16, rng=k)
+        return act
+
+    s = score(evaluate_policy(act_fn, num_envs=32, seed=1))
+    # guided planning with a horizon covering only 8 of 40 steps is myopic;
+    # the bar is beating the 0.49 behavior data by a clear margin
+    # (measured ~0.73 at this budget)
+    assert s >= 0.60, f"Diffuser normalized score {s:.3f} < 0.60"
