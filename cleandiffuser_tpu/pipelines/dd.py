@@ -53,6 +53,7 @@ class DDPipeline:
         target_return: float = 0.9,
         temperature: float = 0.5,
         val_shift: float = 0.0,
+        use_pallas_block: bool = False,
         rng: int = 0,
     ):
         self.obs_dim, self.act_dim, self.horizon = obs_dim, act_dim, horizon
@@ -66,6 +67,9 @@ class DDPipeline:
         nn_diffusion = DiT1d(
             in_dim=obs_dim, emb_dim=emb_dim, d_model=d_model, n_heads=n_heads,
             depth=depth, timestep_emb_type="fourier",
+            # fused Pallas DiT block (ops/dit_block.py): ~2x sampling at
+            # candidate-eval batch sizes on TPU; config key use_pallas_block
+            use_pallas_block=use_pallas_block,
         )
         nn_condition = MLPCondition(
             in_dim=1, out_dim=emb_dim, hidden_dims=(emb_dim,), act=nn.silu,

@@ -53,6 +53,7 @@ def pipeline(args):
         solver=args.solver, sampling_steps=args.sampling_steps,
         w_cfg=args.task.w_cfg, target_return=args.task.target_return,
         temperature=args.temperature, rng=args.seed,
+        use_pallas_block=bool(getattr(args, "use_pallas_block", False)),
     )
 
     if mesh is not None:

@@ -91,3 +91,145 @@ def test_pallas_kernel_matches_reference_interpret(film_scale):
         interpret=True,
     )(*inputs.values())
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused adaLN-Zero DiT block (ops/dit_block.py)
+# ---------------------------------------------------------------------------
+def _dit_inputs(B=8, H=8, D=64, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    ws = [f(D, 3 * D), f(3 * D), f(D, D), f(D),
+          f(D, 4 * D), f(4 * D), f(4 * D, D), f(D)]
+    return f(B, H, D), f(B, 6 * D), ws
+
+
+def test_dit_block_kernel_matches_reference_interpret():
+    from cleandiffuser_tpu.ops.dit_block import (
+        dit_block_reference,
+        fused_dit_block,
+    )
+
+    x, mod, ws = _dit_inputs()
+    ref = dit_block_reference(x, mod, *ws, n_heads=4)
+    out = fused_dit_block(x, mod, *ws, n_heads=4, envs_per_tile=2,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_dit_block_reference_matches_flax_block():
+    """dit_block_reference == the flax DiTBlock used by the models."""
+    from cleandiffuser_tpu.nn_diffusion.dit import DiTBlock
+    from cleandiffuser_tpu.ops.dit_block import (
+        dit_block_reference,
+        pack_dit_block_params,
+    )
+
+    B, H, D, NH = 4, 8, 64, 4
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float32) * 0.1)
+    te = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32) * 0.1)
+    block = DiTBlock(D, NH)
+    params = block.init(jax.random.PRNGKey(0), x, te)
+    # randomize the zero-init adaLN so the comparison is non-trivial
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(
+            np.random.default_rng(2).standard_normal(a.shape).astype(np.float32) * 0.1),
+        params)
+    out_flax = block.apply(params, x, te)
+    p = params["params"]
+    mod = jnp.dot(jax.nn.silu(te), p["Dense_0"]["kernel"]) + p["Dense_0"]["bias"]
+    out_ref = dit_block_reference(x, mod, *pack_dit_block_params(p, D, NH),
+                                  n_heads=NH)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_flax),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_dit_block_identity_at_init():
+    """adaLN-Zero: zero-init gates make the block exactly identity
+    (regression for the residual-from-modulated-h bug fixed in r2)."""
+    from cleandiffuser_tpu.nn_diffusion.dit import DiTBlock, PallasDiTBlock
+
+    B, H, D = 2, 8, 64
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, D)),
+                    jnp.float32)
+    te = jnp.ones((B, D), jnp.float32)
+    for cls in (DiTBlock, PallasDiTBlock):
+        block = cls(D, 4)
+        params = block.init(jax.random.PRNGKey(0), x, te)
+        out = block.apply(params, x, te)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_pallas_dit_block_grad_flows():
+    """The custom VJP (kernel fwd / reference bwd) yields finite grads."""
+    from cleandiffuser_tpu.nn_diffusion.dit import PallasDiTBlock
+
+    B, H, D = 2, 8, 64
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, H, D)),
+                    jnp.float32)
+    te = jnp.ones((B, D), jnp.float32)
+    block = PallasDiTBlock(D, 4)
+    params = block.init(jax.random.PRNGKey(0), x, te)
+
+    def loss(p):
+        return (block.apply(p, x, te) ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_dit1d_pallas_flag_shapes():
+    from cleandiffuser_tpu.nn_diffusion import DiT1d
+
+    m = DiT1d(in_dim=10, emb_dim=32, d_model=64, n_heads=4, depth=2,
+              use_pallas_block=True)
+    x = jnp.zeros((3, 8, 10))
+    t = jnp.zeros((3,), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    out = m.apply(params, x, t)
+    assert out.shape == (3, 8, 10)
+
+
+# ---------------------------------------------------------------------------
+# Fused solver update (ops/solver_update.py) — negative perf result; the
+# kernel stays correct and tested
+# ---------------------------------------------------------------------------
+def test_solver_update_deterministic_equivalence_interpret():
+    from cleandiffuser_tpu.ops.solver_update import (
+        fused_solver_update,
+        solver_update_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    xt = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    coefs = jnp.asarray([0.97, -0.12, 0.0])  # c_noise = 0: exact
+    from jax.experimental.pallas import tpu as pltpu
+
+    ref = solver_update_reference(xt, eps, coefs, jax.random.PRNGKey(0))
+    # TPU interpret mode: the plain CPU interpreter has no prng_seed rule
+    out = fused_solver_update(xt, eps, coefs, 7, block_rows=32,
+                              interpret=pltpu.InterpretParams())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_solver_update_noise_finite_and_seeded_interpret():
+    """The interpreter emulates prng_random_bits with a constant stream, so
+    distribution moments are only checkable on hardware (measured on the
+    real chip: mu=-0.000, sd=1.000 — see ops/solver_update.py header).
+    Here: noise output is finite and seed-deterministic."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cleandiffuser_tpu.ops.solver_update import fused_solver_update
+
+    coefs = jnp.asarray([0.0, 0.0, 1.0])  # pure noise
+    ip = pltpu.InterpretParams()
+    z1 = fused_solver_update(jnp.zeros((64, 128)), jnp.zeros((64, 128)),
+                             coefs, 3, interpret=ip)
+    z2 = fused_solver_update(jnp.zeros((64, 128)), jnp.zeros((64, 128)),
+                             coefs, 3, interpret=ip)
+    assert np.isfinite(np.asarray(z1)).all()
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
