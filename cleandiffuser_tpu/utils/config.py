@@ -14,6 +14,11 @@ available in this environment, so this module implements the same surface:
 - CLI-style overrides: "a.b=3", "task=walker2d-medium-v2" (re-resolves the
   group file), "+new_key=1".
 - Values parsed with yaml (so `lr=3e-4`, `flag=true`, `mult=[1,2]` work).
+- Hydra's `--config-path/--config-dir` and `--config-name` CLI flags are
+  honored by `resolve_config_cli`, so reference-documented invocations like
+  `python pipelines/dp_pusht.py --config-name=pusht_keypoint` or
+  `--config-path=../configs/dbc/pusht/dit` work verbatim against the
+  per-backbone config groups (configs/<algo>/<bench>/<nn>/<variant>.yaml).
 """
 
 from __future__ import annotations
@@ -23,7 +28,7 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 
 import yaml
 
-__all__ = ["Config", "load_config", "parse_cli"]
+__all__ = ["Config", "load_config", "parse_cli", "resolve_config_cli"]
 
 
 class Config:
@@ -143,3 +148,51 @@ def load_config(
 def parse_cli(argv: Sequence[str]) -> List[str]:
     """Filter argv down to key=value override tokens."""
     return [a for a in argv if "=" in a and not a.startswith("-")]
+
+
+def resolve_config_cli(
+    default_dir: Union[str, Path],
+    default_name: str,
+    argv: Sequence[str],
+    nn_key: Optional[str] = None,
+) -> Config:
+    """Hydra-CLI-compatible config resolution for the pipeline scripts.
+
+    - `--config-path=<dir>` / `--config-dir=<dir>` (hydra spelling): choose
+      the config directory. Relative paths are resolved against the script's
+      parent (hydra resolves them against the decorated file's directory, so
+      the reference's documented `--config-path=../configs/...` strings work
+      unchanged from `pipelines/`).
+    - `--config-name=<name>`: choose the yaml (no extension).
+    - `nn=<backbone>` (our shortcut, when `nn_key` is given): if
+      `<default_dir>/../<backbone>/` exists, switch the group directory —
+      `python pipelines/dp_pusht.py nn=dit` == `--config-path=.../dit`.
+    Remaining `key=value` tokens become plain overrides.
+    """
+    cfg_dir = Path(default_dir)
+    cfg_name = default_name
+    overrides: List[str] = []
+    for a in argv:
+        if a.startswith("--config-path=") or a.startswith("--config-dir="):
+            cfg_dir = Path(a.split("=", 1)[1])
+        elif a.startswith("--config-name="):
+            cfg_name = a.split("=", 1)[1]
+            if cfg_name.endswith(".yaml"):
+                cfg_name = cfg_name[: -len(".yaml")]
+        elif "=" in a and not a.startswith("-"):
+            overrides.append(a)
+    if not Path(cfg_dir).is_absolute():
+        # hydra semantics: relative to the calling script's directory
+        import sys as _sys
+
+        script_dir = Path(_sys.argv[0]).resolve().parent
+        cfg_dir = (script_dir / cfg_dir).resolve()
+    # backbone group shortcut: nn=<x> switches to the sibling <x>/ dir
+    if nn_key:
+        nn = next((o.split("=", 1)[1] for o in overrides
+                   if o.startswith(f"{nn_key}=")), None)
+        if nn is not None:
+            sibling = Path(cfg_dir).parent / nn
+            if (sibling / f"{cfg_name}.yaml").exists():
+                cfg_dir = sibling
+    return load_config(cfg_dir, cfg_name, overrides)

@@ -8,16 +8,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 import numpy as np
 
-from cleandiffuser_tpu.dataset import PushTStateDataset
+from cleandiffuser_tpu.dataset import PushTKeypointDataset, PushTStateDataset
 from cleandiffuser_tpu.pipelines.data_loading import resolve_pusht_demos
-from cleandiffuser_tpu.env.pusht_jax import PushTEnvJax
+from cleandiffuser_tpu.env.pusht_jax import PushTEnvJax, PushTKeypointEnvJax
 from cleandiffuser_tpu.pipelines import DBCPipeline
-from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.config import resolve_config_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
 from cleandiffuser_tpu.parallel import place_pipeline, setup_mesh
 
-CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dbc/pusht"
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs/dbc/pusht/pearce_mlp"
 
 
 def pipeline(args):
@@ -28,11 +28,17 @@ def pipeline(args):
     logger = Logger(save_path, args.to_dict())
 
     source = resolve_pusht_demos(args)
-    dataset = PushTStateDataset(
-        source, horizon=args.obs_steps + 1, pad_before=args.obs_steps - 1, pad_after=0
+    # env_name selects the observation variant (pusht-v0 | pusht-keypoints-v0)
+    keypoints = "keypoint" in args.env_name
+    dataset_cls = PushTKeypointDataset if keypoints else PushTStateDataset
+    Ta = int(getattr(args, "action_steps", 1))
+    dataset = dataset_cls(
+        source, horizon=args.obs_steps - 1 + max(Ta, 2),
+        pad_before=args.obs_steps - 1, pad_after=max(Ta - 2, 0),
     )
     pipe = DBCPipeline(
         obs_dim=args.obs_dim, action_dim=args.action_dim, obs_steps=args.obs_steps,
+        action_steps=int(getattr(args, "action_steps", 1)),
         nn=args.nn, diffusion=args.diffusion, emb_dim=args.emb_dim,
         sample_steps=args.sample_steps,
         diffusion_x_sampling_steps=args.diffusion_x_sampling_steps,
@@ -60,7 +66,7 @@ def pipeline(args):
                 pipe.save(str(save_path / "ckpt_latest"))
     elif args.mode == "inference":
         pipe.load(str(save_path / "ckpt_latest"))
-        env = PushTEnvJax()
+        env = PushTKeypointEnvJax() if keypoints else PushTEnvJax()
         rng = jax.random.PRNGKey(args.seed)
         state, obs = env.reset(rng, args.num_envs)
         obs_win = np.repeat(np.asarray(obs)[:, None], args.obs_steps, 1)
@@ -87,4 +93,4 @@ def pipeline(args):
 
 
 if __name__ == "__main__":
-    pipeline(load_config(CONFIG_DIR, "pusht", parse_cli(sys.argv[1:])))
+    pipeline(resolve_config_cli(CONFIG_DIR, "pusht", sys.argv[1:], nn_key="nn"))

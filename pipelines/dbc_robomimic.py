@@ -43,6 +43,7 @@ def pipeline(args):
     obs_dim = dataset.replay_buffer["obs"].shape[-1]
     pipe = DBCPipeline(
         obs_dim=obs_dim, action_dim=act_dim, obs_steps=args.obs_steps,
+        action_steps=int(getattr(args, "action_steps", 1)),
         nn=args.nn, diffusion=args.diffusion, sample_steps=args.sample_steps,
         diffusion_x_sampling_steps=(args.extra_sample_steps if args.diffusion_x else 0),
         lr=args.lr, gradient_steps=args.gradient_steps, ema_rate=args.ema_rate,

@@ -16,11 +16,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-from cleandiffuser_tpu.dataset import PushTStateDataset
+from cleandiffuser_tpu.dataset import PushTKeypointDataset, PushTStateDataset
 from cleandiffuser_tpu.pipelines.data_loading import resolve_pusht_demos
-from cleandiffuser_tpu.env.pusht_jax import PushTEnvJax
+from cleandiffuser_tpu.env.pusht_jax import PushTEnvJax, PushTKeypointEnvJax
 from cleandiffuser_tpu.pipelines import DPPipeline
-from cleandiffuser_tpu.utils.config import load_config, parse_cli
+from cleandiffuser_tpu.utils.config import resolve_config_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
 from cleandiffuser_tpu.parallel import place_pipeline, setup_mesh
@@ -37,7 +37,11 @@ def pipeline(args):
 
     source = resolve_pusht_demos(args)
 
-    dataset = PushTStateDataset(
+    # env_name selects the observation variant (reference configs
+    # dp/pusht/*/pusht{,_keypoint}.yaml: pusht-v0 | pusht-keypoints-v0)
+    keypoints = "keypoint" in args.env_name
+    dataset_cls = PushTKeypointDataset if keypoints else PushTStateDataset
+    dataset = dataset_cls(
         source, horizon=args.horizon,
         pad_before=args.obs_steps - 1, pad_after=args.action_steps - 1,
     )
@@ -48,7 +52,7 @@ def pipeline(args):
         lr=args.lr, gradient_steps=args.gradient_steps, ema_rate=args.ema_rate,
         rng=args.seed,
     )
-    env = PushTEnvJax()
+    env = PushTKeypointEnvJax() if keypoints else PushTEnvJax()
 
     if mesh is not None:
         place_pipeline(pipe, mesh)
@@ -114,7 +118,4 @@ def pipeline(args):
 
 
 if __name__ == "__main__":
-    overrides = parse_cli(sys.argv[1:])
-    nn = next((o.split("=")[1] for o in overrides if o.startswith("nn=")), "chi_unet")
-    config_dir = Path(__file__).resolve().parents[1] / f"configs/dp/pusht/{nn}"
-    pipeline(load_config(config_dir, "pusht", overrides))
+    pipeline(resolve_config_cli(CONFIG_DIR, "pusht", sys.argv[1:], nn_key="nn"))

@@ -70,6 +70,41 @@ def test_dbc(pusht_ds, nn):
     assert act.shape == (4, 2)
 
 
+def test_dbc_dit_chunk(pusht_ds):
+    """dit mode = action-chunk diffusion (reference dbc_pusht.py:166-171,
+    94-100): x is (B, Ta, act_dim), condition is the flattened obs window."""
+    pipe = DBCPipeline(
+        obs_dim=5, action_dim=2, obs_steps=2, action_steps=4, nn="dit",
+        diffusion="ddpm", sample_steps=3, gradient_steps=100,
+    )
+    batch = pusht_ds.sample_batch(jax.random.PRNGKey(0), 8)
+    log = pipe.train_step(batch)
+    assert np.isfinite(log["loss"])
+    act = pipe.act(np.asarray(batch["obs"]["state"][:4, :2]))
+    assert act.shape == (4, 2)
+    assert np.all(np.abs(np.asarray(act)) <= 1.0 + 1e-5)
+
+
+def test_pusht_keypoint_combined_normalizer():
+    """The keypoint dataset's combined 'state' normalizer == the separate
+    keypoint/agent_pos normalizers applied piecewise (per-dim minmax)."""
+    from cleandiffuser_tpu.dataset import PushTKeypointDataset
+
+    rb = generate_pusht_demos(n_episodes=2, max_steps=30)
+    ds = PushTKeypointDataset(rb, horizon=4, pad_before=1, pad_after=1)
+    kp = rb["keypoint"].reshape(len(rb["keypoint"]), -1)
+    agent = rb["state"][:, :2]
+    combined = ds.normalizer["obs"]["state"].normalize(
+        np.concatenate([kp, agent], -1))
+    piecewise = np.concatenate(
+        [ds.normalizer["obs"]["keypoint"].normalize(kp),
+         ds.normalizer["obs"]["agent_pos"].normalize(agent)], -1)
+    np.testing.assert_allclose(np.asarray(combined), np.asarray(piecewise),
+                               atol=1e-6)
+    batch = ds.sample_batch(jax.random.PRNGKey(0), 4)
+    assert batch["obs"]["state"].shape[-1] == 20
+
+
 def test_dbc_diffusion_x(pusht_ds):
     pipe = DBCPipeline(
         obs_dim=5, action_dim=2, obs_steps=2, nn="pearce_mlp", diffusion="ddim",
