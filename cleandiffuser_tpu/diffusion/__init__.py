@@ -2,6 +2,7 @@ from .basic import DiffusionModel
 from .consistency_model import CMCurriculumLogger, ContinuousConsistencyModel
 from .diffusionsde import BaseDiffusionSDE, ContinuousDiffusionSDE, DiscreteDiffusionSDE
 from .edm import ContinuousEDM
+from .karras_ode import EDMDDIM, VEODE, VPODE, KarrasODE
 from .rectifiedflow import ContinuousRectifiedFlow, DiscreteRectifiedFlow
 from .vp_solvers import SUPPORTED_SOLVERS
 
