@@ -31,19 +31,62 @@ _GR_TASK_NAMES = {
     "kettle": "kettle",
 }
 
+# d4rl/relay-policy task-completion constants (reference env/kitchen/
+# base.py:12-30). Indices address the 30-dim [robot qpos 9 | object qpos 21]
+# vector, which is exactly obs[:30] of the flattened layout below.
+D4RL_ELEMENT_INDICES = {
+    "bottom burner": np.array([11, 12]),
+    "top burner": np.array([15, 16]),
+    "light switch": np.array([17, 18]),
+    "slide cabinet": np.array([19]),
+    "hinge cabinet": np.array([20, 21]),
+    "microwave": np.array([22]),
+    "kettle": np.array([23, 24, 25, 26, 27, 28, 29]),
+}
+D4RL_ELEMENT_GOALS = {
+    "bottom burner": np.array([-0.88, -0.01]),
+    "top burner": np.array([-0.92, -0.01]),
+    "light switch": np.array([-0.69, -0.05]),
+    "slide cabinet": np.array([0.37]),
+    "hinge cabinet": np.array([0.0, 1.45]),
+    "microwave": np.array([-0.75]),
+    "kettle": np.array([-0.23, 0.75, 1.62, 0.99, 0.0, 0.0, -0.06]),
+}
+D4RL_BONUS_THRESH = 0.3
 
-class KitchenLowdimWrapper:
+
+try:
+    import gymnasium as _gym
+
+    _EnvBase = _gym.Env
+except ImportError:  # pragma: no cover
+    _EnvBase = object
+
+
+class KitchenLowdimWrapper(_EnvBase):
     """Flattens FrankaKitchen dict obs to the d4rl/relay-policy layout:
     [robot qpos (9) | object qpos (21) | full goal qpos (30)] = 60 dims.
 
     gymnasium's `observation` is [robot qpos 9 | robot qvel 9 | obj qpos 21
     | obj qvel 20]; the velocities are dropped and the per-task desired_goal
     dict is scattered into a full 30-dim goal config vector (the d4rl goal
-    block is the desired full qpos, zero for untargeted elements)."""
+    block is the desired full qpos, zero for untargeted elements).
+
+    Task completion/reward uses the EXACT d4rl rule (reference
+    env/kitchen/base.py:87-119) computed from the observation, independent
+    of gymnasium's internal reward: an element completes when
+    ||obs[element_idx] - d4rl_goal|| < 0.3 (any order), each completion pays
+    +1 once and is removed from the open set; the episode terminates when
+    the open set empties. This pins the d4rl scoring semantics even though
+    the MuJoCo-3 model XML differs slightly from the vendored
+    relay_policy_learning assets."""
+
+    metadata = {"render_modes": ["rgb_array"]}
 
     def __init__(self, env, tasks: Optional[Sequence[str]] = None):
         self.env = env
         self.tasks = list(tasks) if tasks is not None else list(ALL_KITCHEN_TASKS)
+        self.tasks_to_complete: List[str] = list(self.tasks)
 
     @staticmethod
     def _flatten(obs_dict) -> np.ndarray:
@@ -60,13 +103,31 @@ class KitchenLowdimWrapper:
                 goal[np.asarray(OBS_ELEMENT_INDICES[task])] = np.ravel(val)
         return np.concatenate([qp, obj_qp, goal]).astype(np.float32)
 
+    def _d4rl_completions(self, flat_obs) -> List[str]:
+        done = []
+        for element in self.tasks_to_complete:
+            idx = D4RL_ELEMENT_INDICES[element]
+            dist = np.linalg.norm(flat_obs[idx] - D4RL_ELEMENT_GOALS[element])
+            if dist < D4RL_BONUS_THRESH:
+                done.append(element)
+        return done
+
     def reset(self, **kwargs):
         obs, info = self.env.reset(**kwargs)
+        self.tasks_to_complete = list(self.tasks)
         return self._flatten(obs), info
 
     def step(self, action):
-        obs, rew, term, trunc, info = self.env.step(action)
-        return self._flatten(obs), float(rew), term, trunc, info
+        obs, _, term, trunc, info = self.env.step(action)
+        flat = self._flatten(obs)
+        completions = self._d4rl_completions(flat)
+        for element in completions:
+            self.tasks_to_complete.remove(element)
+        rew = float(len(completions))  # d4rl bonus == newly completed tasks
+        term = bool(term) or not self.tasks_to_complete
+        info = dict(info)
+        info["completed_tasks"] = set(self.tasks) - set(self.tasks_to_complete)
+        return flat, rew, term, trunc, info
 
     def render(self):
         return self.env.render()

@@ -43,6 +43,72 @@ def test_kitchen_wrapper_is_60_dim():
     env.close()
 
 
+class _StubFranka:
+    """Minimal FrankaKitchen stand-in: 59-dim observation
+    [qp 9 | qvel 9 | obj_qp 21 | obj_qvel 20], controllable object block."""
+
+    def __init__(self):
+        self.obj = np.zeros(21, np.float32)
+
+    def _obs(self):
+        o = np.zeros(59, np.float32)
+        o[18:39] = self.obj
+        return {"observation": o, "desired_goal": {}}
+
+    def reset(self, **kwargs):
+        self.obj[:] = 0.0
+        return self._obs(), {}
+
+    def step(self, action):
+        return self._obs(), 0.0, False, False, {}
+
+
+def test_kitchen_d4rl_completion_rule():
+    """The wrapper scores with the EXACT d4rl rule (reference
+    env/kitchen/base.py:87-119): obs-distance < 0.3, +1 once per task,
+    removal from the open set, terminate when empty."""
+    from cleandiffuser_tpu.env.kitchen import (
+        D4RL_ELEMENT_GOALS,
+        D4RL_ELEMENT_INDICES,
+        KitchenLowdimWrapper,
+    )
+
+    stub = _StubFranka()
+    env = KitchenLowdimWrapper(stub, ["microwave", "kettle"])
+    obs, _ = env.reset()
+    assert obs.shape == (60,)
+
+    # nothing at goal -> no reward (kettle zeros are far from its goal)
+    _, rew, term, _, info = env.step(np.zeros(9))
+    assert rew == 0.0 and not term and info["completed_tasks"] == set()
+
+    # drive the microwave joint to its d4rl goal -> +1, removed, once
+    mw_obj_idx = D4RL_ELEMENT_INDICES["microwave"] - 9
+    stub.obj[mw_obj_idx] = D4RL_ELEMENT_GOALS["microwave"]
+    _, rew, term, _, info = env.step(np.zeros(9))
+    assert rew == 1.0 and not term and info["completed_tasks"] == {"microwave"}
+    _, rew, term, _, _ = env.step(np.zeros(9))
+    assert rew == 0.0 and not term  # pays only once
+
+    # complete the kettle -> +1 and termination (open set empty)
+    kt_obj_idx = D4RL_ELEMENT_INDICES["kettle"] - 9
+    stub.obj[kt_obj_idx] = D4RL_ELEMENT_GOALS["kettle"]
+    _, rew, term, _, info = env.step(np.zeros(9))
+    assert rew == 1.0 and term
+    assert info["completed_tasks"] == {"microwave", "kettle"}
+
+    # threshold is a 0.3 NORM ball: just inside counts, just outside doesn't
+    env.reset()
+    stub.obj[:] = 0.0
+    stub.obj[mw_obj_idx] = D4RL_ELEMENT_GOALS["microwave"] + 0.29
+    _, rew, _, _, _ = env.step(np.zeros(9))
+    assert rew == 1.0
+    env.reset()
+    stub.obj[mw_obj_idx] = D4RL_ELEMENT_GOALS["microwave"] + 0.31
+    _, rew, _, _, _ = env.step(np.zeros(9))
+    assert rew == 0.0
+
+
 def test_eval_env_fns_mapping():
     from cleandiffuser_tpu.pipelines.data_loading import (
         get_normalized_score_fn,
