@@ -323,6 +323,37 @@ def extended_benches(floor):
     except Exception as e:
         out["dd_train_bench_error"] = str(e)[:160]
 
+    # --- fused Pallas adaLN-Zero DiT block: XLA vs kernel at DD candidate
+    # eval scale (ops/dit_block.py; production gate B*H >= 2048) ---
+    try:
+        from cleandiffuser_tpu.diffusion import DiscreteDiffusionSDE as DDS
+
+        B_dd, H_dd = 50 * 64, 32
+        prior_dd = jnp.zeros((B_dd, H_dd, 17))
+        times = {}
+        for flag in (False, True):
+            eng = DDS(
+                DiT1d(in_dim=17, emb_dim=128, d_model=320, n_heads=10,
+                      depth=2, timestep_emb_type="fourier",
+                      use_pallas_block=flag),
+                diffusion_steps=20, rng=0)
+            eng.init(prior_dd)
+            key = "pallas" if flag else "xla"
+            res = bench_sampler_family(
+                f"dd_dit_sample_{key}", eng,
+                dict(solver="ddpm", sample_steps=20, cfg_mode="uncond",
+                     final_logp=False),
+                prior_dd, floor, repeat=3)
+            out.update(res)
+            tkey = f"dd_dit_sample_{key}_ms_per_batch"
+            if tkey in res:
+                times[key] = res[tkey]
+        if "xla" in times and "pallas" in times and times["pallas"] > 0:
+            out["pallas_dit_block_speedup"] = round(
+                times["xla"] / times["pallas"], 3)
+    except Exception as e:
+        out["pallas_dit_bench_error"] = str(e)[:160]
+
     return out
 
 

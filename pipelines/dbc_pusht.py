@@ -41,7 +41,12 @@ def pipeline(args):
         action_steps=int(getattr(args, "action_steps", 1)),
         nn=args.nn, diffusion=args.diffusion, emb_dim=args.emb_dim,
         sample_steps=args.sample_steps,
-        diffusion_x_sampling_steps=args.diffusion_x_sampling_steps,
+        # accept both our key and the reference's diffusion_x/extra_sample_steps
+        diffusion_x_sampling_steps=(
+            int(getattr(args, "extra_sample_steps", 0))
+            if bool(getattr(args, "diffusion_x", False))
+            else int(getattr(args, "diffusion_x_sampling_steps", 0))
+        ),
         lr=args.lr, gradient_steps=args.gradient_steps, ema_rate=args.ema_rate,
         rng=args.seed,
     )

@@ -105,7 +105,8 @@ def pipeline(args):
                 t_window = time.time()
 
     elif args.mode == "inference":
-        pipe.load(str(save_path / "ckpt_latest"))
+        # ckpt=<step|latest> selects among the save_freq checkpoints
+        pipe.load(str(save_path / f"ckpt_{getattr(args, 'ckpt', 'latest')}"))
         mean_rew, mean_success = pipe.evaluate_on_device(
             env, dataset.normalizer, num_envs=args.num_envs,
             max_episode_steps=args.max_episode_steps,
