@@ -123,8 +123,9 @@ def bench_planner(name, nn_diffusion, x_shape, batch, steps, repeat=10,
         (_, acc), _ = jax.lax.scan(body, (r, 0.0), None, length=repeat)
         return acc
 
-    t = (time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
-                 n_warmup=1, n_iters=3) - floor) / repeat
+    # clamp: tiny fused programs can measure below the tunnel floor
+    t = max(time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
+                    n_warmup=1, n_iters=3) - floor, 1e-7) / repeat
     fl = flops_of(
         lambda p, r: sample_fn(p, None, r, prior)[0].sum(),
         engine.state.ema_params, jax.random.PRNGKey(0),
@@ -154,8 +155,9 @@ def bench_sampler_family(name, engine, sample_kwargs, prior, floor,
         (_, acc), _ = jax.lax.scan(body, (r, 0.0), None, length=repeat)
         return acc
 
-    t = (time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
-                 n_warmup=1, n_iters=3) - floor) / repeat
+    # clamp: tiny fused programs can measure below the tunnel floor
+    t = max(time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
+                    n_warmup=1, n_iters=3) - floor, 1e-7) / repeat
     fl = flops_of(
         lambda p, r: sample_fn(p, None, r, prior, **kw)[0].sum(),
         engine.state.ema_params, jax.random.PRNGKey(0),
