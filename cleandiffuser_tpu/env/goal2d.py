@@ -11,10 +11,14 @@ paper number:
   reward r = -||s'||            (dense distance-to-goal)
   horizon T = 40, reset s0 ~ U([-1, 1]^2)
 
-The optimal policy moves straight toward the origin at full speed, so from
-distance d0 the optimal return is -sum_t max(d0 - t*DT, 0) — see
-`optimal_return`. The random anchor is the uniform-policy expectation,
-estimated once by a deterministic on-device Monte-Carlo (`random_return`).
+The optimal policy saturates BOTH action axes (the action set is a box,
+not a ball): each axis decays independently as max(|x_i| - t*DT, 0), so
+the optimal return is -sum_t ||(max(|x|-t*DT,0), max(|y|-t*DT,0))|| — see
+`optimal_return` (greedy per-step norm minimization is optimal because the
+per-step reachable set is a translation-invariant box, so being closer
+never shrinks future options). The random anchor is the uniform-policy
+expectation, estimated once by a deterministic on-device Monte-Carlo
+(`random_return`).
 
 Everything is pure JAX: batched reset/step, analytic scoring, and a fully
 on-device policy evaluation loop.
@@ -72,12 +76,17 @@ class Goal2DEnv:
 def optimal_return(s0: jnp.ndarray, horizon: int = HORIZON) -> jnp.ndarray:
     """Closed-form optimal return from start position(s) s0 (..., 2).
 
-    Moving straight at max speed: distance after t steps is
-    max(d0 - t*DT, 0), so the return is -sum_{t=1..T} max(d0 - t*DT, 0).
+    The action set is the box [-1,1]^2, so the optimal policy saturates
+    each axis independently (diagonal speed sqrt(2)*DT): after t steps
+    |x_i(t)| = max(|x_i(0)| - t*DT, 0) per axis, giving
+    return = -sum_{t=1..T} ||(max(|x|-t*DT,0), max(|y|-t*DT,0))||.
+    (Greedy per-step norm minimization is optimal: the reachable box is
+    translation-invariant, so closer positions dominate.)
     """
-    d0 = jnp.linalg.norm(s0, axis=-1)
-    t = jnp.arange(1, horizon + 1)
-    return -jnp.maximum(d0[..., None] - t * DT, 0.0).sum(-1)
+    ax = jnp.abs(s0)  # (..., 2)
+    t = jnp.arange(1, horizon + 1, dtype=s0.dtype)
+    rem = jnp.maximum(ax[..., None, :] - t[:, None] * DT, 0.0)  # (..., T, 2)
+    return -jnp.linalg.norm(rem, axis=-1).sum(-1)
 
 
 def expected_optimal_return(n_mc: int = 100_000, seed: int = 0) -> float:

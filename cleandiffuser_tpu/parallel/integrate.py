@@ -98,12 +98,13 @@ def _force_cpu_devices(n: int):
 
 # ----------------------------------------------------------------------
 def _is_state_pytree(v) -> bool:
-    """A flax.struct dataclass (TrainState, CriticState, IQLState, ...) or a
-    bare params dict tree (e.g. QGPOPipeline.q_params) holding only jax
-    arrays."""
+    """A flax.struct dataclass (TrainState, CriticState, IQLState, ...), a
+    bare params dict tree (e.g. QGPOPipeline.q_params), or an optax
+    opt_state (tuple of NamedTuples, e.g. QGPOPipeline.q_opt_state) holding
+    only jax arrays."""
     if isinstance(v, type):
         return False
-    if not (dataclasses.is_dataclass(v) or isinstance(v, dict)
+    if not (dataclasses.is_dataclass(v) or isinstance(v, (dict, tuple, list))
             or type(v).__name__ == "FrozenDict"):
         return False
     leaves = jax.tree_util.tree_leaves(v)
@@ -116,15 +117,23 @@ def place_state(state, mesh: Mesh):
 
 
 def _place_obj(obj, mesh: Mesh) -> bool:
-    """If obj is a state pytree holder (engine/classifier/IQL/critic-like,
-    i.e. has a `.state` flax.struct), replicate its state; returns True if
-    anything was placed. (Param/opt FSDP sharding is engine-level —
-    `DataParallelEngine(..., fsdp_axis=...)`; pipelines replicate.)"""
+    """If obj is a state pytree holder, replicate its device state; returns
+    True if anything was placed. Covers engines/classifiers/IQL/critics
+    (`.state` flax.struct) AND bare-attr holders like the inverse-dynamics
+    engines (`.params`/`.opt_state` without a struct). (Param/opt FSDP
+    sharding is engine-level — `DataParallelEngine(..., fsdp_axis=...)`;
+    pipelines replicate.)"""
+    placed = False
     st = getattr(obj, "state", None)
     if _is_state_pytree(st):
         obj.state = place_state(st, mesh)
-        return True
-    return False
+        placed = True
+    for attr in ("params", "ema_params", "target_params", "opt_state"):
+        v = getattr(obj, attr, None)
+        if _is_state_pytree(v):
+            setattr(obj, attr, place_state(v, mesh))
+            placed = True
+    return placed
 
 
 def place_pipeline(pipe, mesh: Mesh) -> None:
@@ -154,12 +163,13 @@ def place_pipeline(pipe, mesh: Mesh) -> None:
                 continue
             if _place_obj(item, mesh):
                 placed.append(name)
-            else:
-                # engines nested one level deeper (pipeline.agent.classifier)
-                for sub in ("classifier", "critic", "iql"):
-                    subobj = getattr(item, sub, None)
-                    if subobj is not None and _place_obj(subobj, mesh):
-                        placed.append(f"{name}.{sub}")
+            # engines nested one level deeper (pipeline.agent.classifier):
+            # walked unconditionally — an engine with its own .state still
+            # holds a separately-stated classifier/critic
+            for sub in ("classifier", "critic", "iql", "invdyn"):
+                subobj = getattr(item, sub, None)
+                if subobj is not None and _place_obj(subobj, mesh):
+                    placed.append(f"{name}.{sub}")
     pipe.mesh = mesh
     if not placed:
         raise ValueError(

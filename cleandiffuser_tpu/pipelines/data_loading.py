@@ -88,8 +88,10 @@ def resolve_pusht_demos(args, with_images: bool = False):
     n_episodes = int(getattr(args, "demo_episodes", 64))
     max_steps = int(getattr(args, "demo_max_steps", 300 if expert else 200))
     kind = "MPC-expert" if expert else "scripted"
+    cache_note = (f"cached to {path}" if path.suffix == ".npz" else
+                  f"NOT cached: {path} is not .npz, regenerated every run")
     print(f"[data] no dataset at {path}; generating {n_episodes} {kind} "
-          f"JAX demos (cached to {path})")
+          f"JAX demos ({cache_note})")
     mpc_kwargs = None
     noise = float(getattr(args, "demo_noise", 0.0))
     if noise > 0.0:

@@ -71,6 +71,7 @@ def pipeline(args):
         t_window = time.time()
         step = 0
         while step < args.gradient_steps:
+            prev_step = step
             if fused:
                 rng, k = jax.random.split(rng)
                 log = train_window(k)
@@ -91,10 +92,13 @@ def pipeline(args):
             t_window = now
             print(m)
             logger.log(m, "train")
-            if step % args.save_freq == 0:
+            # crossing check: step advances in whole windows, so a plain
+            # `step % freq == 0` silently skips freqs that aren't multiples
+            # of the window size (e.g. eval_freq=2500, log_freq=1000)
+            if step // args.save_freq > prev_step // args.save_freq:
                 pipe.save(str(save_path / f"ckpt_{step}"))
                 pipe.save(str(save_path / "ckpt_latest"))
-            if step % args.eval_freq == 0:
+            if step // args.eval_freq > prev_step // args.eval_freq:
                 mean_rew, mean_success = pipe.evaluate_on_device(
                     env, dataset.normalizer, num_envs=args.num_envs,
                     max_episode_steps=args.max_episode_steps,

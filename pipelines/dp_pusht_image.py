@@ -89,13 +89,14 @@ def pipeline(args):
                 logger.log(m, "train")
                 losses = []
             if (step + 1) % args.save_freq == 0:
+                pipe.save(str(save_path / f"ckpt_{step + 1}"))
                 pipe.save(str(save_path / "ckpt_latest"))
             if (step + 1) % args.eval_freq == 0:
                 m = {"step": step + 1, **evaluate()}
                 print(m)
                 logger.log(m, "inference")
     elif args.mode == "inference":
-        pipe.load(str(save_path / "ckpt_latest"))
+        pipe.load(str(save_path / f"ckpt_{getattr(args, 'ckpt', 'latest')}"))
         m = evaluate()
         print(m)
         logger.log(m, "inference")

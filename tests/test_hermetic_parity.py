@@ -64,6 +64,34 @@ def test_analytic_anchors(score):
     assert 0.35 < behavior < 0.65
 
 
+def test_optimal_return_is_achievable_and_tight():
+    """The closed form must equal a brute-force greedy rollout exactly —
+    with BOX actions the optimum saturates both axes (diagonal speed
+    sqrt(2)*DT), strictly beating straight-line-at-speed-DT motion
+    (regression: the old closed form used the ball-speed bound and sat
+    below the true optimum, so policies could score > 1.0)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cleandiffuser_tpu.env.goal2d import DT, HORIZON, Goal2DEnv, Goal2DState
+
+    env = Goal2DEnv()
+    s0 = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (64, 2)).astype(np.float32))
+    state, total = Goal2DState(s0), jnp.zeros(64)
+    for _ in range(HORIZON):
+        a = jnp.clip(-state.pos / DT, -1, 1)  # greedy per-step norm min
+        state, _, rew, _ = env.step(state, a)
+        total = total + rew
+    np.testing.assert_allclose(np.asarray(total), np.asarray(optimal_return(s0)),
+                               atol=1e-5)
+    # diagonal start: box optimum strictly beats the ball-speed bound
+    diag = jnp.asarray([[1.0, 1.0]])
+    d0 = float(jnp.linalg.norm(diag))
+    ball_bound = -sum(max(d0 - t * DT, 0.0) for t in range(1, HORIZON + 1))
+    assert float(optimal_return(diag)[0]) > ball_bound + 1e-3
+
+
 def test_dql_reaches_near_optimum(td_dataset, score):
     from cleandiffuser_tpu.pipelines.dql import DQLPipeline
 

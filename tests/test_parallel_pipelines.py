@@ -166,3 +166,71 @@ def test_dp_pipeline_trains_on_mesh():
     assert np.isfinite(float(log["loss"]))
     chunk = pipe.act_chunk(np.random.randn(4, 2, 5).astype(np.float32))
     assert chunk.shape == (4, 4, 2)
+
+
+def test_dd_pipeline_invdyn_placed_on_mesh():
+    """Regression (r2 review): place_pipeline must also place inverse-
+    dynamics engines (bare .params/.opt_state, no .state struct) — DD's
+    train_step feeds them dp-sharded batches."""
+    from cleandiffuser_tpu.dataset import D4RLMuJoCoDataset
+    from cleandiffuser_tpu.dataset.fake import fake_d4rl_dataset
+    from cleandiffuser_tpu.pipelines.dd import DDPipeline
+
+    ds = D4RLMuJoCoDataset(
+        fake_d4rl_dataset("halfcheetah-medium-v2", n_steps=600, ep_len=100),
+        horizon=4)
+    pipe = DDPipeline(obs_dim=17, act_dim=6, horizon=4, emb_dim=16,
+                      d_model=32, n_heads=2, depth=1, sampling_steps=2,
+                      diffusion_gradient_steps=10, rng=0)
+    mesh = make_mesh(8)
+    place_pipeline(pipe, mesh)
+    ds.place_on_mesh(mesh)
+    # invdyn params must be committed to the mesh, not device 0
+    leaf = jax.tree_util.tree_leaves(pipe.invdyn.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    batch = ds.sample_batch(jax.random.PRNGKey(0), 16)
+    log = pipe.train_step(batch)
+    assert np.isfinite(float(log["loss"]))
+    assert np.isfinite(float(log["invdyn_loss"]))
+
+
+def test_qgpo_bare_opt_state_placed_on_mesh():
+    """Regression (r2 review): optax NamedTuple opt_states held as bare
+    pipeline attrs (QGPOPipeline.q_opt_state) must be mesh-placed."""
+    from cleandiffuser_tpu.pipelines.qgpo import QGPOPipeline
+
+    pipe = QGPOPipeline(obs_dim=17, act_dim=6, K=4, rng=0)
+    mesh = make_mesh(8)
+    place_pipeline(pipe, mesh)
+    for tree in (pipe.q_params, pipe.q_target_params, pipe.q_opt_state):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        assert len(leaf.sharding.device_set) == 8
+
+
+def test_engine_nested_classifier_placed_on_mesh():
+    """Regression (r2 review): an engine that has its own .state must STILL
+    get its nested classifier placed (the walk was previously gated on the
+    engine placement failing)."""
+    from cleandiffuser_tpu.classifier import CumRewClassifier
+    from cleandiffuser_tpu.diffusion import DiscreteDiffusionSDE
+    from cleandiffuser_tpu.nn_classifier import HalfJannerUNet1d
+    from cleandiffuser_tpu.nn_diffusion import JannerUNet1d
+
+    classifier = CumRewClassifier(
+        HalfJannerUNet1d(horizon=8, in_dim=23, model_dim=16, emb_dim=16),
+        rng=0)
+    engine = DiscreteDiffusionSDE(
+        JannerUNet1d(in_dim=23, model_dim=16, emb_dim=16),
+        classifier=classifier, diffusion_steps=2, rng=0)
+    engine.init(jnp.zeros((2, 8, 23)))
+    classifier.init(jnp.zeros((2, 8, 23)), jnp.zeros((2,), jnp.int32))
+
+    class _Holder:
+        pass
+
+    pipe = _Holder()
+    pipe.planner = engine
+    mesh = make_mesh(8)
+    place_pipeline(pipe, mesh)
+    leaf = jax.tree_util.tree_leaves(engine.classifier.state)[0]
+    assert len(leaf.sharding.device_set) == 8
