@@ -58,6 +58,8 @@ def main():
                   dataset_path="dev/pusht/pusht_demos_keypoint.npz")
         dump(g / "pusht_keypoint.yaml", kp)
         img = merged(CFG / "dp" / "pusht_image" / "pusht_image.yaml", nn=nn)
+        if nn == "chi_unet":
+            img["horizon"] = 16  # ChiUNet needs 2^n (ref chi_unet yamls)
         dump(g / "pusht_image.yaml", img)
         n += 2
 
