@@ -121,3 +121,17 @@ def test_eval_env_fns_mapping():
     assert abs(f(277.39) - 1.0) < 1e-3
     f = get_normalized_score_fn("kitchen-mixed-v0")
     assert f(4.0) == pytest.approx(1.0)
+
+
+def test_kitchen_wrapper_composes_with_multistep():
+    """Regression: KitchenLowdimWrapper must be a gymnasium.Env —
+    MultiStepWrapper(gym.Wrapper) asserts it (dbc/dp kitchen eval crashed)."""
+    from cleandiffuser_tpu.env import MultiStepWrapper, make_kitchen_env
+
+    env = MultiStepWrapper(make_kitchen_env(["microwave"]), n_obs_steps=2,
+                           n_action_steps=1, max_episode_steps=5)
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (2, 60)
+    obs, rew, term, trunc, _ = env.step(np.zeros((1, 9)))
+    assert obs.shape == (2, 60) and np.isfinite(rew)
+    env.close()
