@@ -121,6 +121,44 @@ class DPImagePipeline:
         naction = batch["action"]
         return self.agent.update(naction, cond)
 
+    def make_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused image trainer (mirrors DPPipeline.make_train_scan):
+        `n_steps` x (uint8 device gather + vision-condition encode +
+        grad/opt/EMA) compiled into ONE `lax.scan` program. The device
+        store is passed as jit ARGUMENTS — closure-constant image arrays
+        overflow the remote-compile payload (HTTP 413) and per-step
+        dispatch caps image training at ~5 steps/s over the tunnel."""
+        raw = self.agent._make_update_fn(update_ema=True, has_wrt=False)
+        raw = raw.__wrapped__ if hasattr(raw, "__wrapped__") else raw
+
+        def fused(state, arrays, widx, rng):
+            N = widx.shape[0]
+
+            def body(state, k):
+                ks, _ = jax.random.split(k)
+                i = jax.random.randint(ks, (batch_size,), 0, N)
+                rows = widx[i]
+                batch = jax.tree_util.tree_map(lambda a: a[rows], arrays)
+                cond = self._condition_of(batch["obs"])
+                state, log = raw(state, batch["action"], cond, None)
+                return state, log
+
+            keys = jax.random.split(rng, n_steps)
+            state, logs = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(lambda x: x.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            arrays, widx = dataset._placed_store()
+            if self.agent.state is None:  # lazy engine init (first window)
+                b = dataset.sample_batch(jax.random.PRNGKey(0), batch_size)
+                self.agent._ensure_init(b["action"], self._condition_of(b["obs"]))
+            self.agent.state, log = fused_jit(self.agent.state, arrays, widx, rng)
+            return log
+
+        return run
+
     def act_chunk(self, obs: Dict, rng: Optional[jax.Array] = None):
         cond = self._condition_of(obs)
         b = next(iter(cond.values())).shape[0]
