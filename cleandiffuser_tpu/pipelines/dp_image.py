@@ -47,17 +47,23 @@ class DPImagePipeline:
         self.nn_kind, self.diffusion_kind = nn, diffusion
         self.sample_steps = sample_steps
 
-        nn_condition = MultiImageObsCondition(
-            shape_meta=shape_meta, emb_dim=emb_dim, crop_shape=crop_shape,
-        )
         if nn == "chi_unet":
-            # obs encoder output (b, emb) feeds ChiUNet as flattened To=1 cond
+            # To-frame sequence conditioning (reference image DP encodes
+            # EVERY obs frame): encoder emits (b, To, emb), ChiUNet consumes
+            # the flattened To-window as its global condition
+            nn_condition = MultiImageObsCondition(
+                shape_meta=shape_meta, emb_dim=emb_dim, crop_shape=crop_shape,
+                use_seq=True, keep_horizon_dims=True,
+            )
             nn_diffusion = ChiUNet1d(
-                act_dim=action_dim, obs_dim=emb_dim, To=1,
+                act_dim=action_dim, obs_dim=emb_dim, To=obs_steps,
                 model_dim=256, emb_dim=256, dim_mult=(1, 2, 2),
                 obs_as_global_cond=True,
             )
         elif nn == "dit":
+            nn_condition = MultiImageObsCondition(
+                shape_meta=shape_meta, emb_dim=emb_dim, crop_shape=crop_shape,
+            )
             nn_diffusion = DiT1d(
                 in_dim=action_dim, emb_dim=emb_dim, d_model=320, n_heads=10,
                 depth=2, timestep_emb_type="fourier",
@@ -90,15 +96,16 @@ class DPImagePipeline:
 
     # ------------------------------------------------------------------
     def _condition_of(self, obs: Dict):
-        """obs dict with image uint8 (B, To, C, H, W) or (B, C, H, W) and
-        low_dim keys; use the first obs frame as the condition frame
-        (single-frame visual conditioning, matching emb To=1)."""
+        """obs dict with image (B, T, ...) windows and low_dim keys.
+        chi_unet (seq conditioning): keep the first To frames per key.
+        dit: single-frame conditioning with the first obs frame."""
+        seq = self.nn_kind == "chi_unet"
         cond = {}
         for key, meta in self.shape_meta["obs"].items():
             x = obs[key]
             if meta["type"] == "rgb":
-                if x.ndim == 5:  # (B, To, ...) -> first frame
-                    x = x[:, 0]
+                if x.ndim == 5:  # (B, T, ...) window
+                    x = x[:, : self.To] if seq else x[:, 0]
                 # accept channels-last storage (device image cache keeps the
                 # raw (H, W, C) uint8 layout) or channels-first
                 if x.shape[-1] == meta["shape"][0]:
@@ -108,16 +115,12 @@ class DPImagePipeline:
                     x = x / 255.0
             else:
                 if x.ndim == 3:
-                    x = x[:, 0]
+                    x = x[:, : self.To] if seq else x[:, 0]
             cond[key] = x
         return cond
 
     def train_step(self, batch):
         cond = self._condition_of(batch["obs"])
-        if self.nn_kind == "chi_unet":
-            # ChiUNet expects (b, To, obs_emb); MultiImageObsCondition gives
-            # (b, emb) -> lift to To=1
-            pass
         naction = batch["action"]
         return self.agent.update(naction, cond)
 
