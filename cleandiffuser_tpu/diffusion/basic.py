@@ -38,7 +38,22 @@ from ..utils.train_state import (
 __all__ = ["DiffusionModel"]
 
 
+def bf16_cast(tree):
+    """Cast a pytree's floating leaves to bfloat16 (ints/keys untouched)."""
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        tree,
+    )
+
+
 class DiffusionModel:
+    # Samplers cast params + network forward to bfloat16 (MXU-native) when
+    # set; solver math stays float32. Class-level default so the
+    # `bf16_sampling=true` config key (applied at the setup_mesh chokepoint,
+    # parallel/integrate.py) reaches every engine; instances may override.
+    bf16_sampling = False
+
     def __init__(
         self,
         nn_diffusion,
@@ -139,6 +154,15 @@ class DiffusionModel:
 
     def apply_diffusion(self, params, x, t, emb, train=False, rng=None):
         rngs = {"dropout": rng} if (train and rng is not None) else None
+        if not train and self.bf16_sampling:
+            # bf16 net forward at sampling time, every engine: inputs/params
+            # cast here (no-ops when the sampler pre-cast them), prediction
+            # cast back so solver math stays f32
+            out = self.nn_diffusion.apply(
+                bf16_cast(params["diffusion"]), x.astype(jnp.bfloat16), t,
+                bf16_cast(emb) if emb is not None else None,
+                train=train, rngs=rngs)
+            return out.astype(jnp.float32)
         return self.nn_diffusion.apply(params["diffusion"], x, t, emb, train=train, rngs=rngs)
 
     # ------------------------------------------------------------------

@@ -28,7 +28,7 @@ import optax
 from ..utils.schedules import karras_sigma_schedule
 from ..utils.tensors import at_least_ndim
 from ..utils.train_state import ema_update
-from .basic import DiffusionModel
+from .basic import DiffusionModel, bf16_cast
 from .edm import ContinuousEDM
 
 __all__ = ["ContinuousConsistencyModel", "CMCurriculumLogger"]
@@ -339,6 +339,8 @@ class ContinuousConsistencyModel(DiffusionModel):
             warm_reference=None,
         ):
             del cls_params, condition_cg, w_cg, w_cfg, warm_reference
+            if self.bf16_sampling:  # pre-cast once, hoisted out of the scan
+                params = {**params, "diffusion": bf16_cast(params["diffusion"])}
             k_init, k_scan = jax.random.split(rng)
             xt = jax.random.normal(k_init, prior.shape) * self.sigma_max * temperature
             xt = xt * (1.0 - self.fix_mask) + prior * self.fix_mask

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..utils.schedules import karras_sigma_schedule
 from ..utils.tensors import at_least_ndim
-from .basic import DiffusionModel
+from .basic import DiffusionModel, bf16_cast
 
 __all__ = ["ContinuousEDM"]
 
@@ -183,6 +183,8 @@ class ContinuousEDM(DiffusionModel):
             w_cfg: float = 0.0, w_cg: float = 0.0, temperature: float = 1.0,
             warm_reference=None,
         ):
+            if self.bf16_sampling:  # pre-cast once, hoisted out of the scan
+                params = {**params, "diffusion": bf16_cast(params["diffusion"])}
             k_init, k_scan = jax.random.split(rng)
             if warm_start and warm_reference is not None:
                 xt = warm_reference + fwd_sigma * jax.random.normal(k_init, prior.shape)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..utils.schedules import SUPPORTED_DISCRETIZATIONS, SUPPORTED_SAMPLING_STEP_SCHEDULE
 from ..utils.tensors import at_least_ndim
-from .basic import DiffusionModel
+from .basic import DiffusionModel, bf16_cast
 
 __all__ = ["DiscreteRectifiedFlow", "ContinuousRectifiedFlow"]
 
@@ -153,6 +153,8 @@ class _BaseRectifiedFlow(DiffusionModel):
             warm_reference=None, x1=None,
         ):
             del cls_params, condition_cg, w_cg
+            if self.bf16_sampling:  # pre-cast once, hoisted out of the scan
+                params = {**params, "diffusion": bf16_cast(params["diffusion"])}
             k_init, _ = jax.random.split(rng)
             if warm_start and warm_reference is not None:
                 x1_eff = self._warm_x1(k_init, prior, warm_reference, warm_start_forward_level)

@@ -268,14 +268,22 @@ class EarlyConvViTMultiViewImageCondition(BaseNNCondition):
 
 # ---------------------------------------------------------------------------
 def random_crop(rng, img, crop_h: int, crop_w: int):
-    """Random crop of (..., C, H, W) image(s); same crop per call."""
-    h, w = img.shape[-2], img.shape[-1]
+    """Per-sample random crop of (B, ..., C, H, W) images (reference
+    CropRandomizer samples an independent crop per image). Gather-based:
+    one (crop_h, crop_w) index grid per batch element, advanced indexing
+    compiles to a fused gather — no per-sample dynamic_slice loop."""
+    *lead, h, w = img.shape
+    b = img.shape[0]
+    flat = img.reshape(b, -1, h, w)  # (b, C', H, W); C' folds any mid axes
     kh, kw = jax.random.split(rng)
-    top = jax.random.randint(kh, (), 0, h - crop_h + 1)
-    left = jax.random.randint(kw, (), 0, w - crop_w + 1)
-    return jax.lax.dynamic_slice_in_dim(
-        jax.lax.dynamic_slice_in_dim(img, top, crop_h, axis=-2), left, crop_w, axis=-1
-    )
+    top = jax.random.randint(kh, (b,), 0, h - crop_h + 1)
+    left = jax.random.randint(kw, (b,), 0, w - crop_w + 1)
+    rows = (top[:, None] + jnp.arange(crop_h)).reshape(b, 1, crop_h, 1)
+    cols = (left[:, None] + jnp.arange(crop_w)).reshape(b, 1, 1, crop_w)
+    bidx = jnp.arange(b).reshape(b, 1, 1, 1)
+    cidx = jnp.arange(flat.shape[1]).reshape(1, -1, 1, 1)
+    out = flat[bidx, cidx, rows, cols]  # (b, C', crop_h, crop_w)
+    return out.reshape(tuple(lead) + (crop_h, crop_w))
 
 
 def center_crop(img, crop_h: int, crop_w: int):

@@ -53,6 +53,13 @@ def setup_mesh(args=None, n_devices: Optional[int] = None,
         n_devices = int(args.get("n_devices", 1) or 1) if n_devices is None else n_devices
         mesh_shape = args.get("mesh_shape", None) if mesh_shape is None else mesh_shape
         platform = args.get("platform", None) if platform is None else platform
+        if bool(args.get("bf16_sampling", False)):
+            # precision flag rides the same config->runtime chokepoint every
+            # CLI already passes through: samplers cast params+net forward to
+            # bfloat16 (MXU native), solver math stays f32
+            from ..diffusion.basic import DiffusionModel
+
+            DiffusionModel.bf16_sampling = True
     n_devices = n_devices or 1
     if n_devices <= 1 and platform is None:
         return None
