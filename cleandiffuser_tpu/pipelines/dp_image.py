@@ -185,6 +185,83 @@ class DPImagePipeline:
             self._rng, rng = jax.random.split(rng if rng is not None else self._rng)
         return self._fn_cache[key](self.agent.state.ema_params, rng, cond)
 
+    def evaluate_on_device(
+        self,
+        env,
+        normalizer,
+        num_envs: int = 8,
+        max_episode_steps: int = 300,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Fully on-device receding-horizon visuomotor evaluation on the
+        pure-JAX image env (PushTImageEnvJax): SDF-rasterized observation
+        render, vision-encoder conditioning, k-step denoise and Ta env
+        steps all inside ONE jitted rollout — no per-step host dispatch
+        (the host eval loop pays ~30ms tunnel round-trip per env step).
+        Returns (mean best-coverage reward, mean success)."""
+        pos_consts = normalizer["obs"]["agent_pos"].as_device_constants()
+        act_consts = normalizer["action"].as_device_constants()
+        key = ("eval", num_envs, max_episode_steps)
+        if key not in self._fn_cache:
+            solver = "ddpm" if self.diffusion_kind == "ddpm" else "euler"
+            sample_fn = self.agent.build_sample_fn(
+                solver=solver, sample_steps=self.sample_steps,
+                cfg_mode="cond", final_logp=False,
+            )
+            n_chunks = max_episode_steps // self.Ta
+            To, Ta = self.To, self.Ta
+
+            def normalize_pos(p):
+                return (p - pos_consts["min"]) / pos_consts["range"] * 2.0 - 1.0
+
+            def unnormalize_act(a):
+                return (a + 1.0) / 2.0 * act_consts["range"] + act_consts["min"]
+
+            def rollout(params, r):
+                r, k_reset = jax.random.split(r)
+                state, obs = env.reset(k_reset, num_envs)
+                img_win = jnp.repeat(obs["image"][:, None], To, axis=1)
+                pos_win = jnp.repeat(
+                    normalize_pos(obs["agent_pos"])[:, None], To, axis=1)
+
+                def control_step(carry, _):
+                    state, img_win, pos_win, r = carry
+                    r, k_s = jax.random.split(r)
+                    cond = self._condition_of(
+                        {"image": img_win, "agent_pos": pos_win})
+                    prior = jnp.zeros((num_envs, self.horizon, self.action_dim))
+                    naction, _ = sample_fn(params, None, k_s, prior,
+                                           condition_cfg=cond, w_cfg=1.0)
+                    chunk = unnormalize_act(naction[:, To - 1 : To - 1 + Ta])
+
+                    def env_step(c, a):
+                        state, img_win, pos_win = c
+                        state, obs, rew, done = env.step(state, a)
+                        img_win = jnp.concatenate(
+                            [img_win[:, 1:], obs["image"][:, None]], axis=1)
+                        pos_win = jnp.concatenate(
+                            [pos_win[:, 1:],
+                             normalize_pos(obs["agent_pos"])[:, None]], axis=1)
+                        return (state, img_win, pos_win), rew
+
+                    (state, img_win, pos_win), rews = jax.lax.scan(
+                        env_step, (state, img_win, pos_win),
+                        jnp.swapaxes(chunk, 0, 1))
+                    return (state, img_win, pos_win, r), rews
+
+                _, all_rews = jax.lax.scan(
+                    control_step, (state, img_win, pos_win, r), None,
+                    length=n_chunks)
+                best = all_rews.reshape(-1, num_envs).max(0)  # (E,)
+                return best
+
+            self._fn_cache[key] = jax.jit(rollout)
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
+        best = self._fn_cache[key](self.agent.state.ema_params, rng)
+        return float(best.mean()), float((best >= 1.0).mean())
+
+    # ------------------------------------------------------------------
     def save(self, path: str):
         self.agent.save(path)
 

@@ -46,34 +46,16 @@ def pipeline(args):
         gradient_steps=args.gradient_steps, rng=args.seed,
     )
 
+    eval_env = PushTImageEnvJax(render_size=96)
+
     def evaluate():
-        env = PushTImageEnvJax(render_size=96)
-        step_jit = jax.jit(env.step)
-        norm_a = dataset.normalizer["action"]
-        # agent_pos was minmax-normalized at training time; feeding raw
-        # [0,512] coords makes the condition wildly out-of-distribution
-        norm_p = dataset.normalizer["obs"]["agent_pos"]
-        E, To, Ta = args.num_envs, args.obs_steps, args.action_steps
-        rng = jax.random.PRNGKey(args.seed + 1)
-        rng, k = jax.random.split(rng)
-        state, obs = jax.jit(env.reset, static_argnums=1)(k, E)
-        img_win = np.repeat(np.asarray(obs["image"])[:, None], To, axis=1)
-        pos_win = np.repeat(norm_p.normalize(np.asarray(obs["agent_pos"]))[:, None], To, axis=1)
-        total = np.zeros(E)
-        best = np.zeros(E)
-        for _ in range(args.max_episode_steps // Ta):
-            chunk = np.asarray(pipe.act_chunk(
-                {"image": img_win, "agent_pos": pos_win}))
-            chunk = norm_a.unnormalize(chunk)
-            for i in range(Ta):
-                state, obs, rew, done = step_jit(state, np.asarray(chunk[:, i]))
-                best = np.maximum(best, np.asarray(rew))
-            img_win = np.concatenate(
-                [img_win[:, 1:], np.asarray(obs["image"])[:, None]], axis=1)
-            pos_win = np.concatenate(
-                [pos_win[:, 1:], norm_p.normalize(np.asarray(obs["agent_pos"]))[:, None]], axis=1)
-        return {"mean_reward": float(best.mean()),
-                "mean_success": float((best >= 1.0).mean())}
+        # fully on-device rollout: render + encode + denoise + env steps in
+        # ONE jitted program (the old host loop paid one ~30ms tunnel
+        # round-trip per env step)
+        mean_reward, mean_success = pipe.evaluate_on_device(
+            eval_env, dataset.normalizer, num_envs=args.num_envs,
+            max_episode_steps=args.max_episode_steps)
+        return {"mean_reward": mean_reward, "mean_success": mean_success}
 
     if mesh is not None:
         place_pipeline(pipe, mesh)

@@ -141,3 +141,13 @@ def test_dp_image_pipeline():
     assert np.isfinite(log["loss"])
     chunk = pipe.act_chunk(obs)
     assert chunk.shape == (4, 4, 2)
+
+    # fully on-device visuomotor eval: render + encode + denoise + env
+    # steps in one jitted rollout
+    from cleandiffuser_tpu.env.pusht_jax import PushTImageEnvJax
+
+    env = PushTImageEnvJax(render_size=96)
+    mean_rew, mean_success = pipe.evaluate_on_device(
+        env, ds.normalizer, num_envs=2, max_episode_steps=8)
+    assert np.isfinite(mean_rew) and 0.0 <= mean_rew <= 1.0
+    assert 0.0 <= mean_success <= 1.0
