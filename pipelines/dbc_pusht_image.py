@@ -45,31 +45,15 @@ def pipeline(args):
         gradient_steps=args.gradient_steps, rng=args.seed,
     )
 
+    eval_env = PushTImageEnvJax(render_size=96)
+
     def evaluate():
-        env = PushTImageEnvJax(render_size=96)
-        step_jit = jax.jit(env.step)
-        norm_a = dataset.normalizer["action"]
-        # agent_pos was minmax-normalized at training time; feeding raw
-        # [0,512] coords makes the condition wildly out-of-distribution
-        norm_p = dataset.normalizer["obs"]["agent_pos"]
-        E, To = args.num_envs, args.obs_steps
-        rng = jax.random.PRNGKey(args.seed + 1)
-        rng, k = jax.random.split(rng)
-        state, obs = jax.jit(env.reset, static_argnums=1)(k, E)
-        img_win = np.repeat(np.asarray(obs["image"])[:, None], To, axis=1)
-        pos_win = np.repeat(norm_p.normalize(np.asarray(obs["agent_pos"]))[:, None], To, axis=1)
-        best = np.zeros(E)
-        for _ in range(args.max_episode_steps):
-            act = np.asarray(pipe.act({"image": img_win, "agent_pos": pos_win}))
-            act = norm_a.unnormalize(act)
-            state, obs, rew, done = step_jit(state, act)
-            best = np.maximum(best, np.asarray(rew))
-            img_win = np.concatenate(
-                [img_win[:, 1:], np.asarray(obs["image"])[:, None]], axis=1)
-            pos_win = np.concatenate(
-                [pos_win[:, 1:], norm_p.normalize(np.asarray(obs["agent_pos"]))[:, None]], axis=1)
-        return {"mean_reward": float(best.mean()),
-                "mean_success": float((best >= 1.0).mean())}
+        # fully on-device per-step visuomotor rollout (render + encode +
+        # denoise + sim step in one jitted scan)
+        mean_reward, mean_success = pipe.evaluate_on_device(
+            eval_env, dataset.normalizer, num_envs=args.num_envs,
+            max_episode_steps=args.max_episode_steps)
+        return {"mean_reward": mean_reward, "mean_success": mean_success}
 
     if mesh is not None:
         place_pipeline(pipe, mesh)
