@@ -123,6 +123,49 @@ def test_edp_reaches_near_optimum(td_dataset, score):
     assert s >= 0.85, f"EDP normalized score {s:.3f} < 0.85"
 
 
+def test_consistency_policy_distillation_near_optimum(td_dataset, score):
+    """Staged chain IQL -> EDM -> consistency distillation: the 2-NFE
+    distilled student must stay near the 5-NFE EDM teacher's quality
+    (measured 0.96 teacher / 0.90 student at this budget; direct
+    consistency TRAINING needs a much longer curriculum and is only
+    smoke-checked elsewhere)."""
+    from cleandiffuser_tpu.pipelines.consistency_policy import (
+        ConsistencyPolicyPipeline,
+    )
+
+    pipe = ConsistencyPolicyPipeline(obs_dim=2, act_dim=2, emb_dim=32,
+                                     hidden_dim=128, curriculum_cycle=2000,
+                                     s0=10, s1=160, rng=0)
+    rng = jax.random.PRNGKey(0)
+    for _ in range(2000):
+        rng, k = jax.random.split(rng)
+        pipe.iql_train_step(td_dataset.sample_batch(k, 128))
+    for _ in range(3000):
+        rng, k = jax.random.split(rng)
+        pipe.edm_train_step(td_dataset.sample_batch(k, 128))
+    norm = td_dataset.get_normalizer()
+
+    def act_edm(k, obs):
+        return pipe.act(np.asarray(norm.normalize(obs)), model="edm",
+                        num_candidates=32, sampling_steps=5, rng=k)
+
+    s_teacher = score(evaluate_policy(act_edm, num_envs=128, seed=1))
+    assert s_teacher >= 0.85, f"EDM teacher score {s_teacher:.3f} < 0.85"
+
+    pipe.prepare_distillation(distillation_N=18)
+    for _ in range(2000):
+        rng, k = jax.random.split(rng)
+        pipe.cd_train_step(td_dataset.sample_batch(k, 128))
+
+    def act_cd(k, obs):
+        return pipe.act(np.asarray(norm.normalize(obs)), model="cd",
+                        num_candidates=32, sampling_steps=2, rng=k)
+
+    s_student = score(evaluate_policy(act_cd, num_envs=128, seed=1))
+    assert s_student >= 0.80, (
+        f"2-NFE distilled score {s_student:.3f} < 0.80 (teacher {s_teacher:.3f})")
+
+
 def test_diffuser_beats_behavior(score):
     from cleandiffuser_tpu.pipelines.diffuser import DiffuserPipeline
 
