@@ -55,41 +55,56 @@ def pipeline(args):
         place_pipeline(pipe, mesh)
         dataset.place_on_mesh(mesh)
 
+    eval_env = PushTKeypointEnvJax() if keypoints else PushTEnvJax()
+
+    def evaluate():
+        # fully on-device per-step rollout (normalize + denoise + sim step
+        # in one jitted scan)
+        mean_reward, mean_success = pipe.evaluate_on_device(
+            eval_env, dataset.normalizer, num_envs=args.num_envs,
+            max_episode_steps=args.max_episode_steps)
+        return {"mean_reward": mean_reward, "mean_success": mean_success}
+
     if args.mode == "train":
         rng = jax.random.PRNGKey(args.seed)
+        eval_freq = int(getattr(args, "eval_freq", 0) or 0)
+        fused = (mesh is None and args.save_freq % args.log_freq == 0
+                 and args.gradient_steps % args.log_freq == 0
+                 and (eval_freq % args.log_freq == 0))
+        if fused:
+            # one XLA program per log window: gather+update in a lax.scan
+            train_window = pipe.make_train_scan(dataset, args.batch_size,
+                                                args.log_freq)
+        step = 0
         losses = []
-        for step in range(args.gradient_steps):
-            rng, k = jax.random.split(rng)
-            log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
-            losses.append(log["loss"])
-            if (step + 1) % args.log_freq == 0:
-                m = {"step": step + 1, "avg_loss": float(sum(losses)) / len(losses)}
-                print(m)
-                logger.log(m, "train")
+        while step < args.gradient_steps:
+            prev_step = step
+            if fused:
+                rng, k = jax.random.split(rng)
+                log = train_window(k)
+                step += args.log_freq
+                avg_loss = float(log["loss"])
+            else:
+                window = min(args.log_freq, args.gradient_steps - step)
+                for _ in range(window):
+                    rng, k = jax.random.split(rng)
+                    log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
+                    losses.append(log["loss"])
+                step += window
+                avg_loss = float(sum(losses)) / len(losses)
                 losses = []
-            if (step + 1) % args.save_freq == 0:
+            m = {"step": step, "avg_loss": avg_loss}
+            print(m)
+            logger.log(m, "train")
+            if step // args.save_freq > prev_step // args.save_freq:
                 pipe.save(str(save_path / "ckpt_latest"))
+            if eval_freq and step // eval_freq > prev_step // eval_freq:
+                m = {"step": step, **evaluate()}
+                print(m)
+                logger.log(m, "inference")
     elif args.mode == "inference":
         pipe.load(str(save_path / "ckpt_latest"))
-        env = PushTKeypointEnvJax() if keypoints else PushTEnvJax()
-        rng = jax.random.PRNGKey(args.seed)
-        state, obs = env.reset(rng, args.num_envs)
-        obs_win = np.repeat(np.asarray(obs)[:, None], args.obs_steps, 1)
-        norm_o = dataset.normalizer["obs"]["state"]
-        norm_a = dataset.normalizer["action"]
-        total_rew = np.zeros(args.num_envs)
-        success = np.zeros(args.num_envs)
-        import jax.numpy as jnp
-        for t in range(args.max_episode_steps):
-            nobs = norm_o.normalize(obs_win)
-            act = np.asarray(pipe.act(nobs))
-            act = norm_a.unnormalize(act)
-            state, obs, rew, done = env.step(state, jnp.asarray(act))
-            obs_np = np.asarray(obs)
-            obs_win = np.concatenate([obs_win[:, 1:], obs_np[:, None]], 1)
-            total_rew += np.asarray(rew)
-            success = np.maximum(success, np.asarray(rew))
-        m = {"mean_reward": float(total_rew.mean()), "mean_success": float(success.mean())}
+        m = evaluate()
         print(m)
         logger.log(m, "inference")
     else:
