@@ -356,6 +356,39 @@ def extended_benches(floor):
     except Exception as e:
         out["pallas_dit_bench_error"] = str(e)[:160]
 
+    # --- image DP: fully on-device visuomotor eval (SDF render + ResNet18
+    # encode + 5-step denoise + env step in ONE jitted rollout) ---
+    try:
+        from cleandiffuser_tpu.dataset import PushTImageDataset, generate_pusht_demos
+        from cleandiffuser_tpu.env.pusht_jax import PushTImageEnvJax
+        from cleandiffuser_tpu.pipelines.dp_image import DPImagePipeline
+
+        rb_img = generate_pusht_demos(n_episodes=4, max_steps=40,
+                                      with_images=True, image_size=96)
+        ds_img = PushTImageDataset(rb_img, horizon=16, pad_before=1, pad_after=7)
+        shape_meta = {"obs": {
+            "image": {"shape": [3, 96, 96], "type": "rgb"},
+            "agent_pos": {"shape": [2], "type": "low_dim"}}}
+        pipe_img = DPImagePipeline(
+            shape_meta=shape_meta, action_dim=2, horizon=16, obs_steps=2,
+            action_steps=8, nn="chi_unet", diffusion="ddpm", sample_steps=5,
+            crop_shape=(84, 84), rng=0)
+        b = ds_img.sample_batch(jax.random.PRNGKey(0), 8)
+        pipe_img.agent._ensure_init(
+            b["action"], pipe_img._condition_of(b["obs"]))
+        env_img = PushTImageEnvJax(render_size=96)
+        E_img, T_img = 50, 296
+        pipe_img.evaluate_on_device(env_img, ds_img.normalizer,
+                                    num_envs=E_img, max_episode_steps=300)
+        t0 = time.perf_counter()
+        pipe_img.evaluate_on_device(env_img, ds_img.normalizer,
+                                    num_envs=E_img, max_episode_steps=300)
+        t_ev = max(time.perf_counter() - t0 - floor, 1e-7)
+        out["dp_image_eval_env_steps_per_sec"] = round(E_img * T_img / t_ev, 1)
+        out["dp_image_eval_s_per_50env_episode"] = round(t_ev, 3)
+    except Exception as e:
+        out["dp_image_bench_error"] = str(e)[:160]
+
     return out
 
 
