@@ -123,6 +123,34 @@ def test_edp_reaches_near_optimum(td_dataset, score):
     assert s >= 0.85, f"EDP normalized score {s:.3f} < 0.85"
 
 
+def test_dd_cfg_target_return_near_optimum(score):
+    """Decision Diffuser: CFG on the scaled MC return must steer plans to
+    near-optimal returns (measured 0.96 at this budget — return
+    conditioning sees past the myopic horizon that caps CG-Diffuser at
+    ~0.73 on this task)."""
+    from cleandiffuser_tpu.pipelines.dd import DDPipeline
+
+    ds = D4RLMuJoCoDataset(goal2d_sequence_dataset(n_episodes=1000, seed=0),
+                           terminal_penalty=0.0, horizon=8,
+                           max_path_length=40, discount=0.99)
+    GS = 3000
+    pipe = DDPipeline(obs_dim=2, act_dim=2, horizon=8, emb_dim=64,
+                      d_model=128, n_heads=4, depth=2, return_scale=40.0,
+                      val_shift=1.0, sampling_steps=10, w_cfg=1.2,
+                      target_return=1.0, temperature=0.5,
+                      diffusion_gradient_steps=GS, invdyn_gradient_steps=GS,
+                      rng=0)
+    _train(pipe, ds, GS, 64)
+    norm = ds.get_normalizer()
+
+    def act_fn(k, obs):
+        a, _ = pipe.act(np.asarray(norm.normalize(obs)), rng=k)
+        return a
+
+    s = score(evaluate_policy(act_fn, num_envs=64, seed=1))
+    assert s >= 0.85, f"DD normalized score {s:.3f} < 0.85"
+
+
 def test_consistency_policy_distillation_near_optimum(td_dataset, score):
     """Staged chain IQL -> EDM -> consistency distillation: the 2-NFE
     distilled student must stay near the 5-NFE EDM teacher's quality
