@@ -42,8 +42,8 @@ def build_engine():
     return DiscreteDiffusionSDE(
         DQLMlp(obs_dim=OBS_DIM, act_dim=ACT_DIM, emb_dim=64),
         IdentityCondition(dropout=0.0),
-        x_max=jnp.ones((ACT_DIM,)),
-        x_min=-jnp.ones((ACT_DIM,)),
+        x_max=np.ones((ACT_DIM,)),
+        x_min=-np.ones((ACT_DIM,)),
         diffusion_steps=SAMPLE_STEPS,
         rng=0,
     )

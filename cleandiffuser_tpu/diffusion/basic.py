@@ -38,6 +38,21 @@ from ..utils.train_state import (
 __all__ = ["DiffusionModel"]
 
 
+def host_constants():
+    """Context manager: create static tables (noise schedules, masks,
+    clip bounds, solver coefficients) on the HOST cpu backend. Jitted
+    programs embed closed-over arrays as MLIR constants by VALUE — if the
+    array lives on the accelerator, lowering issues a device->host fetch
+    per constant, which over a tunneled chip is a round-trip per table and
+    (observed) can wedge mid-compile. Host-backed constants lower locally."""
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # no cpu backend (never in practice)
+        from contextlib import nullcontext
+
+        return nullcontext()
+
+
 def bf16_cast(tree):
     """Cast a pytree's floating leaves to bfloat16 (ints/keys untouched)."""
     return jax.tree_util.tree_map(
@@ -81,12 +96,13 @@ class DiffusionModel:
         self.nn_condition = nn_condition if nn_condition is not None else IdentityCondition()
         self.classifier = classifier
 
-        self.fix_mask = (
-            jnp.asarray(fix_mask, dtype=jnp.float32)[None] if fix_mask is not None else 0.0
-        )
-        self.loss_weight = (
-            jnp.asarray(loss_weight, dtype=jnp.float32)[None] if loss_weight is not None else 1.0
-        )
+        with host_constants():
+            self.fix_mask = (
+                jnp.asarray(fix_mask, dtype=jnp.float32)[None] if fix_mask is not None else 0.0
+            )
+            self.loss_weight = (
+                jnp.asarray(loss_weight, dtype=jnp.float32)[None] if loss_weight is not None else 1.0
+            )
 
         self.tx = make_optimizer(grad_clip_norm=grad_clip_norm, **optim_params)
 

@@ -28,7 +28,7 @@ import optax
 from ..utils.schedules import karras_sigma_schedule
 from ..utils.tensors import at_least_ndim
 from ..utils.train_state import ema_update
-from .basic import DiffusionModel, bf16_cast
+from .basic import DiffusionModel, bf16_cast, host_constants
 from .edm import ContinuousEDM
 
 __all__ = ["ContinuousConsistencyModel", "CMCurriculumLogger"]
@@ -149,8 +149,9 @@ class ContinuousConsistencyModel(DiffusionModel):
         self.pseudo_huber_constant = 0.01 if data_dim is None else 0.00054 * math.sqrt(data_dim)
         self.rho = rho
         self.sigma_data, self.sigma_max, self.sigma_min = sigma_data, sigma_max, sigma_min
-        self.x_max = jnp.asarray(x_max, jnp.float32) if x_max is not None else None
-        self.x_min = jnp.asarray(x_min, jnp.float32) if x_min is not None else None
+        with host_constants():
+            self.x_max = jnp.asarray(x_max, jnp.float32) if x_max is not None else None
+            self.x_min = jnp.asarray(x_min, jnp.float32) if x_min is not None else None
 
         self.edm: Optional[ContinuousEDM] = None
         self.distillation_sigmas, self.distillation_N = None, None
@@ -328,9 +329,10 @@ class ContinuousConsistencyModel(DiffusionModel):
     # ---------------- Sampling ----------------
     def build_sample_fn(self, sample_steps: int = 5, cfg_mode: str = "uncond",
                         diffusion_x_sampling_steps: int = 0):
-        sigmas = karras_sigma_schedule(self.sigma_min, self.sigma_max, self.rho, sample_steps)
-        loop = list(range(1, sample_steps)) + [1] * diffusion_x_sampling_steps
-        idxs = jnp.asarray(sorted(loop, reverse=True), jnp.int32) if loop else jnp.zeros((0,), jnp.int32)
+        with host_constants():  # tables embed as constants: host-backed
+            sigmas = karras_sigma_schedule(self.sigma_min, self.sigma_max, self.rho, sample_steps)
+            loop = list(range(1, sample_steps)) + [1] * diffusion_x_sampling_steps
+            idxs = jnp.asarray(sorted(loop, reverse=True), jnp.int32) if loop else jnp.zeros((0,), jnp.int32)
 
         def fn(
             params, cls_params, rng, prior,

@@ -31,7 +31,7 @@ from ..utils.schedules import (
     SUPPORTED_SAMPLING_STEP_SCHEDULE,
 )
 from ..utils.tensors import at_least_ndim
-from .basic import DiffusionModel
+from .basic import DiffusionModel, host_constants
 from .vp_solvers import (
     SUPPORTED_SOLVERS,
     epstheta_to_xtheta,
@@ -86,8 +86,9 @@ class BaseDiffusionSDE(DiffusionModel):
         )
         self.predict_noise = predict_noise
         self.epsilon = epsilon
-        self.x_max = jnp.asarray(x_max, jnp.float32) if x_max is not None else None
-        self.x_min = jnp.asarray(x_min, jnp.float32) if x_min is not None else None
+        with host_constants():
+            self.x_max = jnp.asarray(x_max, jnp.float32) if x_max is not None else None
+            self.x_min = jnp.asarray(x_min, jnp.float32) if x_min is not None else None
 
     @property
     def supported_solvers(self):
@@ -223,25 +224,28 @@ class BaseDiffusionSDE(DiffusionModel):
         if final_logp is None:
             final_logp = self.classifier is not None
 
-        ts, alphas, sigmas = self._sample_tables(
-            sample_step_schedule, sample_steps, warm_start_forward_level if warm_start else None
-        )
-        logSNRs = jnp.log(alphas / sigmas)
-        hs = jnp.concatenate([jnp.zeros((1,)), logSNRs[:-1] - logSNRs[1:]])
-        stds = jnp.concatenate(
-            [
-                jnp.zeros((1,)),
-                sigmas[:-1] / sigmas[1:] * jnp.sqrt(1 - (alphas[1:] / alphas[:-1]) ** 2),
-            ]
-        )
-        # loop index sequence: steps, steps-1, ..., 1, then x extra steps at 1
-        idxs = jnp.concatenate(
-            [
-                jnp.arange(sample_steps, 0, -1, dtype=jnp.int32),
-                jnp.ones((diffusion_x_sampling_steps,), jnp.int32),
-            ]
-        )
-        is_firsts = jnp.arange(idxs.shape[0]) == 0
+        # host_constants: these tables close over the sampling program as
+        # MLIR constants; host-backed arrays lower without a tunnel fetch
+        with host_constants():
+            ts, alphas, sigmas = self._sample_tables(
+                sample_step_schedule, sample_steps, warm_start_forward_level if warm_start else None
+            )
+            logSNRs = jnp.log(alphas / sigmas)
+            hs = jnp.concatenate([jnp.zeros((1,)), logSNRs[:-1] - logSNRs[1:]])
+            stds = jnp.concatenate(
+                [
+                    jnp.zeros((1,)),
+                    sigmas[:-1] / sigmas[1:] * jnp.sqrt(1 - (alphas[1:] / alphas[:-1]) ** 2),
+                ]
+            )
+            # loop index sequence: steps, steps-1, ..., 1, then x extra steps at 1
+            idxs = jnp.concatenate(
+                [
+                    jnp.arange(sample_steps, 0, -1, dtype=jnp.int32),
+                    jnp.ones((diffusion_x_sampling_steps,), jnp.int32),
+                ]
+            )
+            is_firsts = jnp.arange(idxs.shape[0]) == 0
 
         def fn(
             params,
@@ -438,24 +442,25 @@ class DiscreteDiffusionSDE(BaseDiffusionSDE):
         if 1.0 / diffusion_steps < epsilon:
             raise ValueError("epsilon is too large for the number of diffusion steps")
 
-        if isinstance(discretization, str):
-            disc_fn = SUPPORTED_DISCRETIZATIONS.get(discretization, SUPPORTED_DISCRETIZATIONS["uniform"])
-            self.t_diffusion = disc_fn(diffusion_steps, epsilon)
-        elif callable(discretization):
-            self.t_diffusion = discretization(diffusion_steps, epsilon)
-        else:
-            raise ValueError("discretization must be a callable or a string")
+        with host_constants():
+            if isinstance(discretization, str):
+                disc_fn = SUPPORTED_DISCRETIZATIONS.get(discretization, SUPPORTED_DISCRETIZATIONS["uniform"])
+                self.t_diffusion = disc_fn(diffusion_steps, epsilon)
+            elif callable(discretization):
+                self.t_diffusion = discretization(diffusion_steps, epsilon)
+            else:
+                raise ValueError("discretization must be a callable or a string")
 
-        if isinstance(noise_schedule, str):
-            if noise_schedule not in SUPPORTED_NOISE_SCHEDULES:
-                raise ValueError(f"Noise schedule {noise_schedule} is not supported.")
-            fwd = SUPPORTED_NOISE_SCHEDULES[noise_schedule]["forward"]
-        elif isinstance(noise_schedule, dict):
-            fwd = noise_schedule["forward"]
-        else:
-            raise ValueError("noise_schedule must be a dict or a string")
-        self.alpha, self.sigma = fwd(self.t_diffusion, **(noise_schedule_params or {}))
-        self.logSNR = jnp.log(self.alpha / self.sigma)
+            if isinstance(noise_schedule, str):
+                if noise_schedule not in SUPPORTED_NOISE_SCHEDULES:
+                    raise ValueError(f"Noise schedule {noise_schedule} is not supported.")
+                fwd = SUPPORTED_NOISE_SCHEDULES[noise_schedule]["forward"]
+            elif isinstance(noise_schedule, dict):
+                fwd = noise_schedule["forward"]
+            else:
+                raise ValueError("noise_schedule must be a dict or a string")
+            self.alpha, self.sigma = fwd(self.t_diffusion, **(noise_schedule_params or {}))
+            self.logSNR = jnp.log(self.alpha / self.sigma)
 
     def t_example(self, batch: int):
         return jnp.zeros((batch,), jnp.int32)

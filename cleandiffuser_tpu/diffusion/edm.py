@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..utils.schedules import karras_sigma_schedule
 from ..utils.tensors import at_least_ndim
-from .basic import DiffusionModel, bf16_cast
+from .basic import DiffusionModel, bf16_cast, host_constants
 
 __all__ = ["ContinuousEDM"]
 
@@ -51,8 +51,9 @@ class ContinuousEDM(DiffusionModel):
         )
         self.sigma_data, self.sigma_min, self.sigma_max = sigma_data, sigma_min, sigma_max
         self.rho, self.P_mean, self.P_std = rho, P_mean, P_std
-        self.x_max = jnp.asarray(x_max, jnp.float32) if x_max is not None else None
-        self.x_min = jnp.asarray(x_min, jnp.float32) if x_min is not None else None
+        with host_constants():
+            self.x_max = jnp.asarray(x_max, jnp.float32) if x_max is not None else None
+            self.x_min = jnp.asarray(x_min, jnp.float32) if x_min is not None else None
         self.t_diffusion = [sigma_min, sigma_max]
 
     @property
@@ -169,13 +170,14 @@ class ContinuousEDM(DiffusionModel):
             if warm_start
             else self.sigma_max
         )
-        sigmas = karras_sigma_schedule(self.sigma_min, fwd_sigma, self.rho, sample_steps)
-        idxs = jnp.concatenate(
-            [
-                jnp.arange(sample_steps, 0, -1, dtype=jnp.int32),
-                jnp.ones((diffusion_x_sampling_steps,), jnp.int32),
-            ]
-        )
+        with host_constants():  # tables embed as constants: host-backed
+            sigmas = karras_sigma_schedule(self.sigma_min, fwd_sigma, self.rho, sample_steps)
+            idxs = jnp.concatenate(
+                [
+                    jnp.arange(sample_steps, 0, -1, dtype=jnp.int32),
+                    jnp.ones((diffusion_x_sampling_steps,), jnp.int32),
+                ]
+            )
 
         def fn(
             params, cls_params, rng, prior,

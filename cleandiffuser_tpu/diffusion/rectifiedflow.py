@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..utils.schedules import SUPPORTED_DISCRETIZATIONS, SUPPORTED_SAMPLING_STEP_SCHEDULE
 from ..utils.tensors import at_least_ndim
-from .basic import DiffusionModel, bf16_cast
+from .basic import DiffusionModel, bf16_cast, host_constants
 
 __all__ = ["DiscreteRectifiedFlow", "ContinuousRectifiedFlow"]
 
@@ -44,8 +44,9 @@ class _BaseRectifiedFlow(DiffusionModel):
             nn_diffusion, nn_condition, fix_mask, loss_weight, None,
             grad_clip_norm, 0, ema_rate, optim_params, rng, device,
         )
-        self.x_max = jnp.asarray(x_max, jnp.float32) if x_max is not None else None
-        self.x_min = jnp.asarray(x_min, jnp.float32) if x_min is not None else None
+        with host_constants():
+            self.x_max = jnp.asarray(x_max, jnp.float32) if x_max is not None else None
+            self.x_min = jnp.asarray(x_min, jnp.float32) if x_min is not None else None
 
     @property
     def supported_solvers(self):
@@ -136,15 +137,16 @@ class _BaseRectifiedFlow(DiffusionModel):
         preserve_history: bool = False,
         has_x1: bool = False,
     ):
-        ts_net, ts_c = self._sample_times(
-            sample_step_schedule, sample_steps, warm_start_forward_level if warm_start else None
-        )
-        idxs = jnp.concatenate(
-            [
-                jnp.arange(sample_steps, 0, -1, dtype=jnp.int32),
-                jnp.ones((diffusion_x_sampling_steps,), jnp.int32),
-            ]
-        )
+        with host_constants():  # tables embed as constants: host-backed
+            ts_net, ts_c = self._sample_times(
+                sample_step_schedule, sample_steps, warm_start_forward_level if warm_start else None
+            )
+            idxs = jnp.concatenate(
+                [
+                    jnp.arange(sample_steps, 0, -1, dtype=jnp.int32),
+                    jnp.ones((diffusion_x_sampling_steps,), jnp.int32),
+                ]
+            )
 
         def fn(
             params, cls_params, rng, prior,

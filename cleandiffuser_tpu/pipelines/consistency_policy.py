@@ -50,14 +50,14 @@ class ConsistencyPolicyPipeline:
 
         self.edm = ContinuousEDM(
             make_backbone(), IdentityCondition(dropout=0.0),
-            x_max=jnp.ones((act_dim,)), x_min=-jnp.ones((act_dim,)),
+            x_max=np.ones((act_dim,)), x_min=-np.ones((act_dim,)),
             rng=rng + 1,
         )
         self.edm.init(jnp.zeros((1, act_dim)), jnp.zeros((1, obs_dim)))
 
         self.cm = ContinuousConsistencyModel(
             make_backbone(), IdentityCondition(dropout=0.0),
-            x_max=jnp.ones((act_dim,)), x_min=-jnp.ones((act_dim,)),
+            x_max=np.ones((act_dim,)), x_min=-np.ones((act_dim,)),
             s0=s0, s1=s1, data_dim=act_dim, curriculum_cycle=curriculum_cycle,
             rng=rng + 2,
         )

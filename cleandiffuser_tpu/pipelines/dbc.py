@@ -16,6 +16,7 @@ from typing import Optional
 import flax.linen as fnn
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..diffusion import ContinuousEDM, DiscreteDiffusionSDE
@@ -77,8 +78,8 @@ class DBCPipeline:
             self.agent = DiscreteDiffusionSDE(
                 nn_diffusion, nn_condition,
                 diffusion_steps=sample_steps,
-                x_max=jnp.ones(x_shape),
-                x_min=-jnp.ones(x_shape),
+                x_max=np.ones(x_shape),
+                x_min=-np.ones(x_shape),
                 ema_rate=ema_rate, optim_params=optim_params, rng=rng,
             )
         elif diffusion == "edm":

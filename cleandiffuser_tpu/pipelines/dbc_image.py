@@ -14,6 +14,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..diffusion import ContinuousEDM, DiscreteDiffusionSDE
@@ -66,8 +67,8 @@ class DBCImagePipeline:
             self.agent = DiscreteDiffusionSDE(
                 nn_diffusion, nn_condition,
                 diffusion_steps=sample_steps,
-                x_max=jnp.ones((action_dim,)),
-                x_min=-jnp.ones((action_dim,)),
+                x_max=np.ones((action_dim,)),
+                x_min=-np.ones((action_dim,)),
                 ema_rate=ema_rate, optim_params=optim_params, rng=rng,
             )
         elif diffusion == "edm":

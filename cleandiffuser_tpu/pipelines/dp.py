@@ -90,8 +90,8 @@ class DPPipeline:
             self.agent = DiscreteDiffusionSDE(
                 nn_diffusion, nn_condition,
                 diffusion_steps=sample_steps,
-                x_max=jnp.ones((horizon, action_dim)),
-                x_min=-jnp.ones((horizon, action_dim)),
+                x_max=np.ones((horizon, action_dim)),
+                x_min=-np.ones((horizon, action_dim)),
                 ema_rate=ema_rate, optim_params=optim_params, rng=rng,
             )
         elif diffusion == "edm":

@@ -14,6 +14,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..diffusion import ContinuousEDM, DiscreteDiffusionSDE
@@ -78,8 +79,8 @@ class DPImagePipeline:
         if diffusion == "ddpm":
             self.agent = DiscreteDiffusionSDE(
                 nn_diffusion, nn_condition, diffusion_steps=sample_steps,
-                x_max=jnp.ones((horizon, action_dim)),
-                x_min=-jnp.ones((horizon, action_dim)),
+                x_max=np.ones((horizon, action_dim)),
+                x_min=-np.ones((horizon, action_dim)),
                 ema_rate=ema_rate, optim_params=optim_params, rng=rng,
             )
         elif diffusion == "edm":

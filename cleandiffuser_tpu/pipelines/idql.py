@@ -75,8 +75,8 @@ class IDQLPipeline:
                 "lr": optax.cosine_decay_schedule(actor_lr, gradient_steps),
                 "weight_decay": 0.0,
             },
-            x_max=jnp.ones((act_dim,)),
-            x_min=-jnp.ones((act_dim,)),
+            x_max=np.ones((act_dim,)),
+            x_min=-np.ones((act_dim,)),
             diffusion_steps=diffusion_steps,
             ema_rate=ema_rate,
             rng=rng,

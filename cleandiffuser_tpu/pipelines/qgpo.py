@@ -47,8 +47,8 @@ class QGPOPipeline:
             SfBCUNet(act_dim=act_dim),
             MLPCondition(in_dim=obs_dim, out_dim=emb_dim, hidden_dims=(emb_dim,), act=nn.silu),
             ema_rate=ema_rate,
-            x_max=jnp.ones((act_dim,)),
-            x_min=-jnp.ones((act_dim,)),
+            x_max=np.ones((act_dim,)),
+            x_min=-np.ones((act_dim,)),
             rng=rng,
         )
         self.actor.init(jnp.zeros((1, act_dim)), jnp.zeros((1, obs_dim)))

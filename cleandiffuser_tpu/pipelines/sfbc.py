@@ -57,8 +57,8 @@ class SfBCPipeline:
             MLPCondition(in_dim=obs_dim, out_dim=emb_dim, hidden_dims=(emb_dim,), act=nn.silu),
             ema_rate=ema_rate,
             predict_noise=predict_noise,
-            x_max=jnp.ones((act_dim,)),
-            x_min=-jnp.ones((act_dim,)),
+            x_max=np.ones((act_dim,)),
+            x_min=-np.ones((act_dim,)),
             optim_params={"lr": actor_lr, "weight_decay": 0.0},
             rng=rng,
         )

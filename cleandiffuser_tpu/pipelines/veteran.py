@@ -166,7 +166,7 @@ class VeteranPipeline:
                              hidden_dim=policy_hidden_dim),
                     IdentityCondition(dropout=0.0),
                     predict_noise=True,
-                    x_max=jnp.ones((act_dim,)), x_min=-jnp.ones((act_dim,)),
+                    x_max=np.ones((act_dim,)), x_min=-np.ones((act_dim,)),
                     diffusion_steps=policy_diffusion_steps, ema_rate=0.995,
                     optim_params={"lr": 3e-4, "weight_decay": 0.0},
                     rng=rng + 3,
