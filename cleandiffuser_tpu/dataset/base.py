@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.tensors import host_constants
+
 __all__ = ["BaseDataset", "DeviceSeqSampler", "DeviceTDSampler"]
 
 
@@ -77,9 +79,13 @@ class DeviceSeqSampler:
         stride: int = 1,
         scalars: Optional[Dict[str, np.ndarray]] = None,
     ):
-        self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
-        self.scalars = {k: jnp.asarray(v) for k, v in (scalars or {}).items()}
-        self.indices = jnp.asarray(np.asarray(indices, np.int32))
+        # host-backed store: the whole dataset closes over the jitted
+        # gather as an MLIR constant — accelerator-resident constants make
+        # lowering fetch them back through the (tunneled) device link
+        with host_constants():
+            self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+            self.scalars = {k: jnp.asarray(v) for k, v in (scalars or {}).items()}
+            self.indices = jnp.asarray(np.asarray(indices, np.int32))
         self.horizon, self.stride = horizon, stride
         self._jit_cache = {}
         self._out_sharding = None
@@ -138,7 +144,8 @@ class DeviceTDSampler:
     """Device-resident flat transition store with random gather."""
 
     def __init__(self, arrays: Dict[str, np.ndarray]):
-        self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        with host_constants():  # see DeviceSeqSampler: lowering locality
+            self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
         self.size = next(iter(arrays.values())).shape[0]
         self._jit_cache = {}
         self._out_sharding = None

@@ -38,19 +38,7 @@ from ..utils.train_state import (
 __all__ = ["DiffusionModel"]
 
 
-def host_constants():
-    """Context manager: create static tables (noise schedules, masks,
-    clip bounds, solver coefficients) on the HOST cpu backend. Jitted
-    programs embed closed-over arrays as MLIR constants by VALUE — if the
-    array lives on the accelerator, lowering issues a device->host fetch
-    per constant, which over a tunneled chip is a round-trip per table and
-    (observed) can wedge mid-compile. Host-backed constants lower locally."""
-    try:
-        return jax.default_device(jax.devices("cpu")[0])
-    except RuntimeError:  # no cpu backend (never in practice)
-        from contextlib import nullcontext
-
-        return nullcontext()
+from ..utils.tensors import host_constants  # noqa: F401 (re-export)
 
 
 def bf16_cast(tree):

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "host_constants",
     "at_least_ndim",
     "set_seed",
     "dict_apply",
@@ -23,6 +24,22 @@ __all__ = [
     "report_parameters",
     "count_parameters",
 ]
+
+
+def host_constants():
+    """Context manager: create static tables (noise schedules, dataset
+    stores, masks, solver coefficients) on the HOST cpu backend. Jitted
+    programs embed closed-over arrays as MLIR constants BY VALUE — if the
+    array lives on the accelerator, lowering issues a device->host fetch
+    per constant, which over a tunneled chip is a round trip per table and
+    (observed) can wedge mid-compile. Host-backed constants lower locally
+    and XLA materializes them on device inside the executable."""
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # no cpu backend (never in practice)
+        from contextlib import nullcontext
+
+        return nullcontext()
 
 
 def at_least_ndim(x, ndim: int, pad: int = 0):
