@@ -70,11 +70,12 @@ class TD3BC:
 
     def __init__(self, obs_dim: int, act_dim: int, policy_noise: float = 0.2,
                  noise_clip: float = 0.5, policy_freq: int = 2, alpha: float = 2.5,
-                 gradient_steps: int = 1_000_000, rng: int = 0):
+                 gradient_steps: int = 1_000_000, discount: float = 0.99, rng: int = 0):
         self.actor = _TD3Actor(act_dim=act_dim)
         self.critic = _TD3Critic()
         self.policy_noise, self.noise_clip = policy_noise, noise_clip
         self.policy_freq, self.alpha = policy_freq, alpha
+        self.discount = discount
         self.actor_tx = optax.adam(optax.cosine_decay_schedule(3e-4, gradient_steps))
         self.critic_tx = optax.adam(optax.cosine_decay_schedule(3e-4, gradient_steps))
 
@@ -113,7 +114,7 @@ class TD3BC:
                 self.actor.apply(state.actor_target_params, next_obs) + noise, -1.0, 1.0
             )
             target_q = jax.lax.stop_gradient(
-                rew + (1.0 - tml) * 0.99
+                rew + (1.0 - tml) * self.discount
                 * self.critic.apply(state.critic_target_params, next_obs, next_act)
             )
 
@@ -217,6 +218,7 @@ class SynthERPipeline:
                              sampling_steps: int = 128) -> np.ndarray:
         """Synthesize transitions with the EMA model (reference
         mode=transition_generation)."""
+        batch_size = min(batch_size, n_transitions)
         if self._gen_fn is None:
             sample_fn = self.diffusion.build_sample_fn(
                 solver="ddpm", sample_steps=sampling_steps, cfg_mode="uncond",
