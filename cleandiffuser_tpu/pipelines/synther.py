@@ -204,7 +204,7 @@ class SynthERPipeline:
             rng=rng,
         )
         self.diffusion.init(jnp.zeros((1, self.x_dim)))
-        self._gen_fn = None
+        self._gen_fns = {}  # keyed by (batch_size, sampling_steps)
         self._rng = jax.random.PRNGKey(rng + 1)
 
     def train_step(self, batch):
@@ -219,7 +219,8 @@ class SynthERPipeline:
         """Synthesize transitions with the EMA model (reference
         mode=transition_generation)."""
         batch_size = min(batch_size, n_transitions)
-        if self._gen_fn is None:
+        gen_fn = self._gen_fns.get((batch_size, sampling_steps))
+        if gen_fn is None:
             sample_fn = self.diffusion.build_sample_fn(
                 solver="ddpm", sample_steps=sampling_steps, cfg_mode="uncond",
                 final_logp=False,
@@ -230,12 +231,12 @@ class SynthERPipeline:
                 x, _ = sample_fn(params, None, rng, prior)
                 return x
 
-            self._gen_fn = jax.jit(gen)
+            gen_fn = self._gen_fns[(batch_size, sampling_steps)] = jax.jit(gen)
         out = []
         remaining = n_transitions
         while remaining > 0:
             self._rng, k = jax.random.split(self._rng)
-            x = np.asarray(self._gen_fn(self.diffusion.state.ema_params, k))
+            x = np.asarray(gen_fn(self.diffusion.state.ema_params, k))
             out.append(x[: min(remaining, batch_size)])
             remaining -= batch_size
         return np.concatenate(out, axis=0)

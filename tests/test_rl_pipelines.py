@@ -107,6 +107,10 @@ def test_synther_and_td3bc():
     trans = pipe.generate_transitions(40, batch_size=32, sampling_steps=4)
     assert trans.shape == (40, ds.o_dim * 2 + ds.a_dim + 2)
     assert np.all(np.isfinite(trans))
+    # chunk clamps to the request and distinct (batch, steps) recompile
+    trans_small = pipe.generate_transitions(8, batch_size=10_000, sampling_steps=2)
+    assert trans_small.shape == (8, ds.o_dim * 2 + ds.a_dim + 2)
+    assert set(pipe._gen_fns) == {(32, 4), (8, 2)}
 
     agent = TD3BC(obs_dim=ds.o_dim, act_dim=ds.a_dim, gradient_steps=100)
     for _ in range(3):
