@@ -45,6 +45,30 @@ class BaseDataset:
     def sample_batch(self, rng: jax.Array, batch_size: int):
         raise NotImplementedError
 
+    def gather_fn(self, batch_size: int):
+        """PURE batch gather `fn(rng) -> batch` (no jit wrapper) for
+        composition inside a fused train `lax.scan` — the same nested dict
+        `sample_batch` returns, produced by routing the dataset's own
+        `sample_batch` wrapper over the sampler's pure gather so the batch
+        structure is defined in exactly one place. Works for any dataset
+        whose `sample_batch` is a pure dict re-wrap of its `_sampler`
+        output; datasets with bespoke device caches override this."""
+        import copy
+
+        sampler = getattr(self, "_sampler", None)
+        if sampler is None:
+            raise NotImplementedError(
+                f"{type(self).__name__} has no _sampler; override gather_fn")
+        pure = sampler.gather_fn(batch_size)
+
+        class _PureShim:
+            def sample(self, rng, _batch_size):
+                return pure(rng)
+
+        shadow = copy.copy(self)
+        shadow._sampler = _PureShim()
+        return lambda rng: shadow.sample_batch(rng, batch_size)
+
     def place_on_mesh(self, mesh, axis: str = "dp"):
         """Multi-chip mode: replicate the device-resident store over the
         mesh and emit dp-sharded batches straight from the gather (each
@@ -103,7 +127,9 @@ class DeviceSeqSampler:
         self._jit_cache = {}
         return self
 
-    def _build(self, batch_size: int):
+    def gather_fn(self, batch_size: int):
+        """PURE windowed gather (no jit wrapper) — for composition inside a
+        caller's fused `lax.scan` train window."""
         H, S = self.horizon, self.stride
         arrays, scalars, indices = self.arrays, self.scalars, self.indices
         N = indices.shape[0]
@@ -130,7 +156,10 @@ class DeviceSeqSampler:
                 out[name] = jax.vmap(lambda p, s: arr[p, s])(path, start)
             return out
 
-        return jax.jit(sample, out_shardings=self._out_sharding)
+        return sample
+
+    def _build(self, batch_size: int):
+        return jax.jit(self.gather_fn(batch_size), out_shardings=self._out_sharding)
 
     def sample(self, rng: jax.Array, batch_size: int):
         assert batch_size % self._dp_size == 0, (
@@ -162,14 +191,18 @@ class DeviceTDSampler:
         self._jit_cache = {}
         return self
 
-    def _build(self, batch_size: int):
+    def gather_fn(self, batch_size: int):
+        """PURE gather (no jit wrapper) — see DeviceSeqSampler.gather_fn."""
         arrays, size = self.arrays, self.size
 
         def sample(rng):
             k = jax.random.randint(rng, (batch_size,), 0, size)
             return {name: jnp.take(arr, k, axis=0) for name, arr in arrays.items()}
 
-        return jax.jit(sample, out_shardings=self._out_sharding)
+        return sample
+
+    def _build(self, batch_size: int):
+        return jax.jit(self.gather_fn(batch_size), out_shardings=self._out_sharding)
 
     def sample(self, rng: jax.Array, batch_size: int):
         assert batch_size % self._dp_size == 0, (

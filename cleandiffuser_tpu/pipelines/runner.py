@@ -10,7 +10,58 @@ import numpy as np
 
 from ..utils.logger import Logger
 
-__all__ = ["train_loop", "d4rl_eval_loop"]
+__all__ = ["train_loop", "d4rl_eval_loop", "make_rl_train_scan", "rl_window_fn"]
+
+
+def make_rl_train_scan(pipe, dataset, batch_size: int, n_steps: int):
+    """Fused RL trainer: `n_steps` x (device batch gather + actor/critic
+    update) compiled into ONE `lax.scan` program (mirrors
+    DPPipeline.make_train_scan). Kills per-step Python dispatch — through a
+    tunneled chip that dispatch costs ~3-30ms/step against sub-ms compute
+    (bench.py: DQL 131 steps/s dispatch-bound vs 2786 steps/s fused on the
+    same chip).
+
+    Works for any pipeline exposing `_make_train_step() ->
+    fn(actor_state, critic_state, batch)` with states stored at
+    `pipe.actor.state` / `pipe.critic_state` (DQL / EDP / IDQL).
+
+    Returns `run(rng) -> log`: advances both states by `n_steps` and
+    yields window-mean DEVICE scalars (no host sync).
+    """
+    gather = dataset.gather_fn(batch_size)
+    step_fn = pipe._make_train_step()
+
+    def fused(actor_state, critic_state, rng):
+        def body(carry, k):
+            a_st, c_st = carry
+            a_st, c_st, log = step_fn(a_st, c_st, gather(k))
+            return (a_st, c_st), log
+
+        keys = jax.random.split(rng, n_steps)
+        (actor_state, critic_state), logs = jax.lax.scan(
+            body, (actor_state, critic_state), keys)
+        return actor_state, critic_state, jax.tree_util.tree_map(
+            lambda x: x.mean(), logs)
+
+    fused_jit = jax.jit(fused, donate_argnums=(0, 1))
+
+    def run(rng):
+        pipe.actor.state, pipe.critic_state, log = fused_jit(
+            pipe.actor.state, pipe.critic_state, rng)
+        return log
+
+    return run
+
+
+def rl_window_fn(pipe, dataset, args, mesh):
+    """Build the fused log-window trainer for an RL CLI when the config
+    allows it (single chip, intervals aligned); None -> per-step path."""
+    if mesh is not None:
+        return None
+    if (args.save_interval % args.log_interval != 0
+            or args.gradient_steps % args.log_interval != 0):
+        return None
+    return make_rl_train_scan(pipe, dataset, args.batch_size, args.log_interval)
 
 
 def train_loop(
@@ -22,6 +73,7 @@ def train_loop(
     logger: Optional[Logger] = None,
     seed: int = 0,
     resume_fn: Optional[Callable[[], int]] = None,
+    window_fn: Optional[Callable[[jax.Array], Dict[str, jax.Array]]] = None,
 ):
     """Generic training loop: step_fn(rng) -> log dict of floats.
 
@@ -30,6 +82,10 @@ def train_loop(
     is built in — pass `resume_fn` (returns the step to resume from, e.g.
     by loading the latest checkpoint; the reference restarts from scratch,
     SURVEY.md §5.3/§5.4).
+
+    `window_fn` (from `make_rl_train_scan`) advances `log_interval` steps
+    in ONE fused XLA program; when provided and the schedule aligns, the
+    loop runs window-at-a-time with one host fetch per log window.
     """
     import time
 
@@ -39,6 +95,29 @@ def train_loop(
         if start_step > 0:
             print(f"[train_loop] resuming from step {start_step}")
     rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
+
+    if (window_fn is not None
+            and start_step % log_interval == 0
+            and save_interval % log_interval == 0
+            and gradient_steps % log_interval == 0):
+        t_window = time.time()
+        step = start_step
+        while step < gradient_steps:
+            rng, k = jax.random.split(rng)
+            log = window_fn(k)
+            step += log_interval
+            out = {k_: float(v) for k_, v in log.items()}
+            out["gradient_steps"] = step
+            now = time.time()
+            out["steps_per_sec"] = round(log_interval / max(now - t_window, 1e-9), 2)
+            t_window = now
+            print(out)
+            if logger is not None:
+                logger.log(out, "train")
+            if step % save_interval == 0:
+                save_fn(str(step))
+                save_fn("latest")
+        return
     # accumulate log values ON DEVICE — float(v) per step would force a
     # host sync every step (30ms each over a tunneled chip); one transfer
     # per key per log window instead

@@ -1,0 +1,78 @@
+"""Fused RL train window (runner.make_rl_train_scan) equivalence tests.
+
+The fused window compiles `n_steps x (device gather + actor/critic
+update)` into one `lax.scan` program; it must advance the pipeline state
+exactly like `n_steps` sequential `pipe.train_step(dataset.sample_batch())`
+calls fed the same key sequence.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cleandiffuser_tpu.dataset import D4RLMuJoCoTDDataset
+from cleandiffuser_tpu.dataset.fake import fake_d4rl_qlearning_dataset
+from cleandiffuser_tpu.pipelines.runner import make_rl_train_scan, rl_window_fn
+
+
+def _dataset():
+    return D4RLMuJoCoTDDataset(
+        fake_d4rl_qlearning_dataset("halfcheetah-medium-v2", n_steps=256)
+    )
+
+
+def _assert_states_close(tree_a, tree_b):
+    for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                    jax.tree_util.tree_leaves(tree_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("family", ["dql", "edp", "idql"])
+def test_window_matches_sequential_steps(family):
+    ds = _dataset()
+    kwargs = dict(obs_dim=ds.o_dim, act_dim=ds.a_dim, diffusion_steps=2,
+                  gradient_steps=100, rng=0)
+    if family == "dql":
+        from cleandiffuser_tpu.pipelines import DQLPipeline as P
+        kwargs["sampling_steps"] = 2
+    elif family == "edp":
+        from cleandiffuser_tpu.pipelines.edp import EDPPipeline as P
+    else:
+        from cleandiffuser_tpu.pipelines.idql import IDQLPipeline as P
+
+    n_steps, batch = 4, 8
+    root = jax.random.PRNGKey(7)
+
+    pipe_seq = P(**kwargs)
+    for k in jax.random.split(root, n_steps):
+        pipe_seq.train_step(ds.sample_batch(k, batch))
+
+    pipe_win = P(**kwargs)
+    log = make_rl_train_scan(pipe_win, ds, batch, n_steps)(root)
+    assert all(np.isfinite(np.asarray(v)) for v in log.values())
+
+    _assert_states_close(pipe_seq.actor.state.params, pipe_win.actor.state.params)
+    _assert_states_close(pipe_seq.actor.state.ema_params,
+                         pipe_win.actor.state.ema_params)
+    _assert_states_close(pipe_seq.critic_state, pipe_win.critic_state)
+    assert int(pipe_win.actor.state.step) == n_steps
+
+
+def test_rl_window_fn_alignment_gates():
+    ds = _dataset()
+    from cleandiffuser_tpu.pipelines import DQLPipeline
+
+    pipe = DQLPipeline(obs_dim=ds.o_dim, act_dim=ds.a_dim, diffusion_steps=2,
+                       sampling_steps=2, gradient_steps=100, rng=0)
+
+    class A:
+        batch_size = 8
+        log_interval = 10
+        save_interval = 25  # NOT a multiple of log_interval
+        gradient_steps = 100
+
+    assert rl_window_fn(pipe, ds, A(), mesh=None) is None
+    A.save_interval = 50
+    assert rl_window_fn(pipe, ds, A(), mesh=None) is not None
+    assert rl_window_fn(pipe, ds, A(), mesh=object()) is None
