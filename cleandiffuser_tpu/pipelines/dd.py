@@ -116,6 +116,62 @@ class DDPipeline:
             log["invdyn_loss"] = self.invdyn.update(o, a, o2)["loss"]
         return log
 
+    def make_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused trainer: `n_steps` x (device gather + CFG diffusion update
+        + budget-gated inverse-dynamics update) in ONE `lax.scan` program
+        (see runner.make_rl_train_scan). Invdyn gated on the DEVICE step
+        counter via `lax.cond` — same 1..invdyn_gradient_steps window as
+        train_step's host counter."""
+        gather = dataset.gather_fn(batch_size)
+        dif_raw = self.agent._make_update_fn(update_ema=True, has_wrt=False)
+        dif_raw = getattr(dif_raw, "__wrapped__", dif_raw)
+        inv_raw = getattr(self.invdyn._jit_update, "__wrapped__",
+                          self.invdyn._jit_update)
+        budget = self.invdyn_gradient_steps
+        scale, shift = self.return_scale, self.val_shift
+        O, A = self.obs_dim, self.act_dim
+
+        def fused(a_st, inv_params, inv_opt, rng):
+            def body(carry, k):
+                a_st, ip, io = carry
+                # gather with the WHOLE key (matches the sequential
+                # sample_batch(k) stream); invdyn dropout rng from a fold
+                k_i = jax.random.fold_in(k, 1)
+                batch = gather(k)
+                obs, act, val = batch["obs"]["state"], batch["act"], batch["val"]
+                val = val / scale + shift
+                a_st, log = dif_raw(a_st, obs, val, None)
+
+                def with_inv(arg):
+                    ip, io = arg
+                    o = obs[:, :-1].reshape(-1, O)
+                    a = act[:, :-1].reshape(-1, A)
+                    o2 = obs[:, 1:].reshape(-1, O)
+                    ip, io, loss = inv_raw(ip, io, k_i, o, a, o2)
+                    return ip, io, loss
+
+                ip, io, inv_loss = jax.lax.cond(
+                    a_st.step <= budget, with_inv,
+                    lambda arg: (arg[0], arg[1], jnp.float32(0.0)), (ip, io))
+                log["invdyn_loss"] = inv_loss
+                return (a_st, ip, io), log
+
+            keys = jax.random.split(rng, n_steps)
+            (a_st, inv_params, inv_opt), logs = jax.lax.scan(
+                body, (a_st, inv_params, inv_opt), keys)
+            return a_st, inv_params, inv_opt, jax.tree_util.tree_map(
+                lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=(0, 1, 2))
+
+        def run(rng):
+            (self.agent.state, self.invdyn.params, self.invdyn.opt_state,
+             log) = fused_jit(self.agent.state, self.invdyn.params,
+                              self.invdyn.opt_state, rng)
+            return log
+
+        return run
+
     # ------------------------------------------------------------------
     def _make_plan_fn(self, num_envs: int):
         E, H, O = num_envs, self.horizon, self.obs_dim

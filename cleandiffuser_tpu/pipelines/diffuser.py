@@ -113,6 +113,55 @@ class DiffuserPipeline:
             log["classifier_loss"] = log_cls["loss"]
         return log
 
+    def make_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused planner trainer: `n_steps` x (device gather + diffusion
+        update + budget-gated classifier update) in ONE `lax.scan` program
+        (see runner.make_rl_train_scan for why). The classifier stage is
+        gated on the DEVICE step counter via `lax.cond` — same steps
+        1..classifier_gradient_steps window as train_step's host counter."""
+        gather = dataset.gather_fn(batch_size)
+        dif_raw = self.agent._make_update_fn(update_ema=True, has_wrt=False)
+        dif_raw = getattr(dif_raw, "__wrapped__", dif_raw)
+        cls_raw = self.classifier._make_update_fn(update_ema=True)
+        cls_raw = getattr(cls_raw, "__wrapped__", cls_raw)
+        add_noise = self.agent.add_noise
+        budget = self.classifier_gradient_steps
+
+        def fused(a_st, c_st, rng):
+            def body(carry, k):
+                a_st, c_st = carry
+                # gather with the WHOLE key (matches the sequential
+                # sample_batch(k) stream); classifier noise from a fold
+                k_n = jax.random.fold_in(k, 1)
+                batch = gather(k)
+                obs, act, val = batch["obs"]["state"], batch["act"], batch["val"]
+                x = jnp.concatenate([obs, act], axis=-1)
+                a_st, log = dif_raw(a_st, x, None, None)
+
+                def with_cls(c):
+                    xt, t, _ = add_noise(k_n, x)
+                    c, clog = cls_raw(c, xt, t, val)
+                    return c, clog["loss"]
+
+                c_st, cls_loss = jax.lax.cond(
+                    a_st.step <= budget, with_cls,
+                    lambda c: (c, jnp.float32(0.0)), c_st)
+                log["classifier_loss"] = cls_loss
+                return (a_st, c_st), log
+
+            keys = jax.random.split(rng, n_steps)
+            (a_st, c_st), logs = jax.lax.scan(body, (a_st, c_st), keys)
+            return a_st, c_st, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=(0, 1))
+
+        def run(rng):
+            self.agent.state, self.classifier.state, log = fused_jit(
+                self.agent.state, self.classifier.state, rng)
+            return log
+
+        return run
+
     # ------------------------------------------------------------------
     def _make_plan_fn(self, num_envs: int, num_candidates: int):
         E, K = num_envs, num_candidates

@@ -64,6 +64,18 @@ def rl_window_fn(pipe, dataset, args, mesh):
     return make_rl_train_scan(pipe, dataset, args.batch_size, args.log_interval)
 
 
+def planner_window_fn(pipe, dataset, args, mesh,
+                      steps_key: str = "diffusion_gradient_steps"):
+    """Like rl_window_fn for planner pipelines that expose their own
+    `make_train_scan` (Diffuser, DD)."""
+    if mesh is not None or not hasattr(pipe, "make_train_scan"):
+        return None
+    if (args.save_interval % args.log_interval != 0
+            or getattr(args, steps_key) % args.log_interval != 0):
+        return None
+    return pipe.make_train_scan(dataset, args.batch_size, args.log_interval)
+
+
 def train_loop(
     step_fn: Callable[[jax.Array], Dict[str, float]],
     gradient_steps: int,

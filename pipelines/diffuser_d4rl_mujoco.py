@@ -19,6 +19,7 @@ from cleandiffuser_tpu.pipelines.data_loading import (
     load_d4rl_dataset,
     make_eval_env_fns,
 )
+from cleandiffuser_tpu.pipelines.runner import planner_window_fn, train_loop
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
@@ -64,22 +65,12 @@ def pipeline(args):
         dataset.place_on_mesh(mesh)
 
     if args.mode == "train":
-        rng = jax.random.PRNGKey(args.seed)
-        log_acc = {}
-        for step in range(args.diffusion_gradient_steps):
-            rng, k = jax.random.split(rng)
-            log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
-            for key, v in log.items():
-                log_acc[key] = log_acc.get(key, 0.0) + v  # device-side acc
-            if (step + 1) % args.log_interval == 0:
-                log_acc = {k: float(v) / args.log_interval for k, v in log_acc.items()}
-                log_acc["gradient_steps"] = step + 1
-                print(log_acc)
-                logger.log(log_acc, "train")
-                log_acc = {}
-            if (step + 1) % args.save_interval == 0:
-                pipe.save(str(save_path / f"ckpt_{step + 1}"))
-                pipe.save(str(save_path / "ckpt_latest"))
+        train_loop(
+            lambda k: pipe.train_step(dataset.sample_batch(k, args.batch_size)),
+            args.diffusion_gradient_steps, args.log_interval, args.save_interval,
+            lambda tag: pipe.save(str(save_path / f"ckpt_{tag}")), logger, args.seed,
+            window_fn=planner_window_fn(pipe, dataset, args, mesh),
+        )
 
     elif args.mode == "inference":
         pipe.load(str(save_path / f"ckpt_{args.ckpt}"))

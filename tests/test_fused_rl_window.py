@@ -59,6 +59,50 @@ def test_window_matches_sequential_steps(family):
     assert int(pipe_win.actor.state.step) == n_steps
 
 
+@pytest.mark.parametrize("family", ["diffuser", "dd"])
+def test_planner_window_matches_sequential(family):
+    """Planner fused windows: the diffusion engine state must match the
+    sequential path bitwise-ish (same gather keys, same internal rng); the
+    secondary stage (classifier / invdyn) uses its own rng stream, so only
+    finiteness + step advancement are asserted for it."""
+    from cleandiffuser_tpu.dataset import D4RLMuJoCoDataset
+    from cleandiffuser_tpu.dataset.fake import fake_d4rl_dataset
+
+    raw = fake_d4rl_dataset("halfcheetah-medium-v2", n_steps=288, ep_len=48)
+    ds = D4RLMuJoCoDataset(raw, horizon=8)
+    if family == "diffuser":
+        from cleandiffuser_tpu.pipelines import DiffuserPipeline
+        mk = lambda: DiffuserPipeline(
+            obs_dim=ds.o_dim, act_dim=ds.a_dim, horizon=8, model_dim=16,
+            dim_mult=(1, 2), diffusion_steps=4, sampling_steps=4,
+            diffusion_gradient_steps=100, classifier_gradient_steps=2, rng=0)
+    else:
+        from cleandiffuser_tpu.pipelines import DDPipeline
+        mk = lambda: DDPipeline(
+            obs_dim=ds.o_dim, act_dim=ds.a_dim, horizon=8, emb_dim=16,
+            d_model=32, n_heads=2, depth=1, diffusion_gradient_steps=100,
+            invdyn_gradient_steps=2, sampling_steps=4, rng=0)
+
+    n_steps, batch = 4, 8
+    root = jax.random.PRNGKey(3)
+
+    pipe_seq = mk()
+    for k in jax.random.split(root, n_steps):
+        pipe_seq.train_step(ds.sample_batch(k, batch))
+
+    pipe_win = mk()
+    log = pipe_win.make_train_scan(ds, batch, n_steps)(root)
+    assert all(np.isfinite(np.asarray(v)) for v in log.values())
+
+    _assert_states_close(pipe_seq.agent.state.params, pipe_win.agent.state.params)
+    _assert_states_close(pipe_seq.agent.state.ema_params,
+                         pipe_win.agent.state.ema_params)
+    assert int(pipe_win.agent.state.step) == n_steps
+    # secondary stage advanced exactly to its 2-step budget
+    if family == "diffuser":
+        assert int(pipe_win.classifier.state.step) == 2
+
+
 def test_rl_window_fn_alignment_gates():
     ds = _dataset()
     from cleandiffuser_tpu.pipelines import DQLPipeline
