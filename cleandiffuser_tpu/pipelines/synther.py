@@ -179,6 +179,29 @@ class TD3BC:
         # device scalars: see DiffusionModel.update (no per-step host sync)
         return log
 
+    def make_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused TD3BC trainer: `n_steps` x (device gather + actor/critic/
+        target update) in ONE `lax.scan` (see runner.make_rl_train_scan)."""
+        gather = dataset.gather_fn(batch_size)
+        raw = getattr(self._jit_update, "__wrapped__", self._jit_update)
+
+        def fused(state, rng):
+            def body(st, k):
+                st, log = raw(st, gather(k))
+                return st, log
+
+            keys = jax.random.split(rng, n_steps)
+            state, logs = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            self.state, log = fused_jit(self.state, rng)
+            return log
+
+        return run
+
     def act(self, obs):
         return self._jit_act(self.state.actor_params, jnp.asarray(obs))
 
@@ -213,6 +236,35 @@ class SynthERPipeline:
              batch["next_obs"]["state"], batch["tml"]], axis=-1,
         )
         return self.diffusion.update(x)
+
+    def make_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused tuple-diffusion trainer: `n_steps` x (device gather +
+        grad/opt/EMA update) in ONE `lax.scan` (see
+        runner.make_rl_train_scan)."""
+        gather = dataset.gather_fn(batch_size)
+        raw = self.diffusion._make_update_fn(update_ema=True, has_wrt=False)
+        raw = getattr(raw, "__wrapped__", raw)
+
+        def fused(state, rng):
+            def body(st, k):
+                b = gather(k)
+                x = jnp.concatenate(
+                    [b["obs"]["state"], b["act"], b["rew"],
+                     b["next_obs"]["state"], b["tml"]], axis=-1)
+                st, log = raw(st, x, None, None)
+                return st, log
+
+            keys = jax.random.split(rng, n_steps)
+            state, logs = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            self.diffusion.state, log = fused_jit(self.diffusion.state, rng)
+            return log
+
+        return run
 
     def generate_transitions(self, n_transitions: int, batch_size: int = 100_000,
                              sampling_steps: int = 128) -> np.ndarray:

@@ -14,7 +14,7 @@ import numpy as np
 from cleandiffuser_tpu.dataset import D4RLMuJoCoTDDataset
 from cleandiffuser_tpu.pipelines import SynthERPipeline, TD3BC
 from cleandiffuser_tpu.pipelines.data_loading import load_d4rl_qlearning_dataset
-from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
+from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, planner_window_fn, train_loop
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
@@ -71,6 +71,7 @@ def pipeline(args):
             args.diffusion_gradient_steps, args.log_interval, args.save_interval,
             lambda tag: synther.diffusion.save(str(save_path / f"diff_ckpt_{tag}")),
             logger, args.seed,
+            window_fn=planner_window_fn(synther, dataset, args, mesh),
         )
     elif args.mode == "transition_generation":
         synther.diffusion.load(str(save_path / "diff_ckpt_latest"))
@@ -88,6 +89,8 @@ def pipeline(args):
             lambda k: agent.update(mixed.sample_batch(k, args.batch_size)),
             args.td3bc_gradient_steps, args.log_interval, args.save_interval,
             lambda tag: None, logger, args.seed,
+            window_fn=planner_window_fn(agent, mixed, args, mesh,
+                                        steps_key="td3bc_gradient_steps"),
         )
         import pickle
         with open(save_path / "td3bc.pkl", "wb") as f:

@@ -103,6 +103,33 @@ def test_planner_window_matches_sequential(family):
         assert int(pipe_win.classifier.state.step) == 2
 
 
+def test_synther_windows_match_sequential():
+    from cleandiffuser_tpu.pipelines.synther import SynthERPipeline, TD3BC
+
+    ds = _dataset()
+    n_steps, batch = 3, 8
+    root = jax.random.PRNGKey(11)
+
+    seq = SynthERPipeline(obs_dim=ds.o_dim, act_dim=ds.a_dim, diffusion_steps=4,
+                          hidden_dim=32, n_blocks=1, gradient_steps=100, rng=0)
+    for k in jax.random.split(root, n_steps):
+        seq.train_step(ds.sample_batch(k, batch))
+    win = SynthERPipeline(obs_dim=ds.o_dim, act_dim=ds.a_dim, diffusion_steps=4,
+                          hidden_dim=32, n_blocks=1, gradient_steps=100, rng=0)
+    log = win.make_train_scan(ds, batch, n_steps)(root)
+    assert np.isfinite(np.asarray(log["loss"]))
+    _assert_states_close(seq.diffusion.state.params, win.diffusion.state.params)
+
+    seq_a = TD3BC(obs_dim=ds.o_dim, act_dim=ds.a_dim, gradient_steps=100, rng=0)
+    for k in jax.random.split(root, n_steps):
+        seq_a.update(ds.sample_batch(k, batch))
+    win_a = TD3BC(obs_dim=ds.o_dim, act_dim=ds.a_dim, gradient_steps=100, rng=0)
+    log = win_a.make_train_scan(ds, batch, n_steps)(root)
+    assert all(np.isfinite(np.asarray(v)) for v in log.values())
+    _assert_states_close(seq_a.state.actor_params, win_a.state.actor_params)
+    _assert_states_close(seq_a.state.critic_params, win_a.state.critic_params)
+
+
 def test_rl_window_fn_alignment_gates():
     ds = _dataset()
     from cleandiffuser_tpu.pipelines import DQLPipeline
