@@ -14,7 +14,7 @@ import numpy as np
 from cleandiffuser_tpu.dataset import D4RLMuJoCoDataset
 from cleandiffuser_tpu.pipelines import AdaptDiffuserPipeline
 from cleandiffuser_tpu.pipelines.data_loading import load_d4rl_dataset
-from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
+from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, planner_window_fn, train_loop
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
@@ -54,6 +54,7 @@ def pipeline(args):
             lambda k: pipe.train_step(dataset.sample_batch(k, args.batch_size)),
             args.diffusion_gradient_steps, args.log_interval, args.save_interval,
             lambda tag: pipe.save(str(save_path / f"ckpt_{tag}")), logger, args.seed,
+            window_fn=planner_window_fn(pipe, dataset, args, mesh),
         )
     elif args.mode == "finetune":
         pipe.load(str(save_path / f"ckpt_{args.ft_ckpt}"))

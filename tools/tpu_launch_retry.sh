@@ -9,7 +9,7 @@ for attempt in 1 2 3 4 5 6; do
   "$@" > $LOG 2>&1 &
   PID=$!
   echo $PID > ${LOG}.pid
-  for i in $(seq 1 30); do
+  for i in $(seq 1 ${RETRY_PROBES:-60}); do
     sleep 10
     if grep -q "'step'" $LOG 2>/dev/null; then echo "attempt $attempt: RUNNING pid $PID"; exit 0; fi
     if ! kill -0 $PID 2>/dev/null; then break; fi
