@@ -28,6 +28,17 @@ from ..utils.tensors import host_constants
 __all__ = ["BaseDataset", "DeviceSeqSampler", "DeviceTDSampler"]
 
 
+def _constrain(batch, sharding):
+    """Inside-jit dp-sharding of a gathered batch: when the sampler was
+    placed on a mesh, pin the gather output to the batch sharding so a
+    fused train window keeps its batches dp-sharded (the jitted
+    `sample` path gets the same via out_shardings)."""
+    if sharding is None:
+        return batch
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, sharding), batch)
+
+
 class BaseDataset:
     """Dict-batch contract: {"obs": {"state": ...}, "act": ..., ...}."""
 
@@ -154,8 +165,9 @@ class DeviceSeqSampler:
             for name, arr in scalars.items():
                 # scalar-per-window: value at the window start
                 out[name] = jax.vmap(lambda p, s: arr[p, s])(path, start)
-            return out
+            return _constrain(out, out_sharding)
 
+        out_sharding = self._out_sharding
         return sample
 
     def _build(self, batch_size: int):
@@ -194,10 +206,12 @@ class DeviceTDSampler:
     def gather_fn(self, batch_size: int):
         """PURE gather (no jit wrapper) — see DeviceSeqSampler.gather_fn."""
         arrays, size = self.arrays, self.size
+        out_sharding = self._out_sharding
 
         def sample(rng):
             k = jax.random.randint(rng, (batch_size,), 0, size)
-            return {name: jnp.take(arr, k, axis=0) for name, arr in arrays.items()}
+            out = {name: jnp.take(arr, k, axis=0) for name, arr in arrays.items()}
+            return _constrain(out, out_sharding)
 
         return sample
 

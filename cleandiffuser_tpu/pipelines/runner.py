@@ -53,10 +53,20 @@ def make_rl_train_scan(pipe, dataset, batch_size: int, n_steps: int):
     return run
 
 
+def _mesh_window_ok(args, mesh) -> bool:
+    """Fused windows run on a mesh too (the gather pins dp-sharded batches
+    inside the scan, dataset/base.py _constrain) — just require the batch
+    to divide over the dp axis."""
+    if mesh is None:
+        return True
+    return args.batch_size % mesh.shape.get("dp", 1) == 0
+
+
 def rl_window_fn(pipe, dataset, args, mesh):
     """Build the fused log-window trainer for an RL CLI when the config
-    allows it (single chip, intervals aligned); None -> per-step path."""
-    if mesh is not None:
+    allows it (intervals aligned, batch divides the dp axis); None ->
+    per-step path."""
+    if not _mesh_window_ok(args, mesh):
         return None
     if (args.save_interval % args.log_interval != 0
             or args.gradient_steps % args.log_interval != 0):
@@ -67,8 +77,8 @@ def rl_window_fn(pipe, dataset, args, mesh):
 def planner_window_fn(pipe, dataset, args, mesh,
                       steps_key: str = "diffusion_gradient_steps"):
     """Like rl_window_fn for planner pipelines that expose their own
-    `make_train_scan` (Diffuser, DD)."""
-    if mesh is not None or not hasattr(pipe, "make_train_scan"):
+    `make_train_scan` (Diffuser, DD, AdaptDiffuser, SynthER)."""
+    if not hasattr(pipe, "make_train_scan") or not _mesh_window_ok(args, mesh):
         return None
     if (args.save_interval % args.log_interval != 0
             or getattr(args, steps_key) % args.log_interval != 0):

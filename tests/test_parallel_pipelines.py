@@ -234,3 +234,40 @@ def test_engine_nested_classifier_placed_on_mesh():
     place_pipeline(pipe, mesh)
     leaf = jax.tree_util.tree_leaves(engine.classifier.state)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_fused_window_on_mesh_matches_single_device():
+    """Fused train windows run on the mesh too (runner.make_rl_train_scan
+    with dp-sharded in-scan gathers): same keys -> same params as the
+    single-device fused window."""
+    from cleandiffuser_tpu.pipelines.runner import make_rl_train_scan
+
+    def build():
+        return DQLPipeline(
+            obs_dim=ds.o_dim, act_dim=ds.a_dim,
+            diffusion_steps=2, sampling_steps=2, gradient_steps=100, rng=5,
+        )
+
+    ds = _make_ds()
+    root = jax.random.PRNGKey(9)
+
+    p1 = build()
+    log1 = make_rl_train_scan(p1, ds, 32, 4)(root)
+
+    mesh = make_mesh(8)
+    ds8 = _make_ds()
+    ds8.place_on_mesh(mesh)
+    p2 = build()
+    place_pipeline(p2, mesh)
+    log2 = make_rl_train_scan(p2, ds8, 32, 4)(root)
+
+    for k in log1:
+        np.testing.assert_allclose(np.asarray(log1[k]), np.asarray(log2[k]),
+                                   rtol=2e-3, atol=1e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(p1.actor.state.params),
+                    jax.tree_util.tree_leaves(p2.actor.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    # the window's states really live on the mesh
+    leaf = jax.tree_util.tree_leaves(p2.actor.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
