@@ -60,7 +60,9 @@ def pipeline(args):
 
     if args.mode == "train":
         rng = jax.random.PRNGKey(args.seed)
-        fused = (mesh is None and args.save_freq % args.log_freq == 0
+        # fused windows run on the mesh too (dp-sharded in-scan gathers)
+        mesh_ok = mesh is None or args.batch_size % mesh.shape.get("dp", 1) == 0
+        fused = (mesh_ok and args.save_freq % args.log_freq == 0
                  and args.eval_freq % args.log_freq == 0
                  and args.gradient_steps % args.log_freq == 0)
         if fused:

@@ -271,3 +271,36 @@ def test_fused_window_on_mesh_matches_single_device():
     # the window's states really live on the mesh
     leaf = jax.tree_util.tree_leaves(p2.actor.state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_dp_pusht_window_on_mesh_matches_single_device():
+    """DPPipeline.make_train_scan with the PushT dataset store: dp-sharded
+    in-scan gathers on the mesh produce the same params as single-device."""
+    from cleandiffuser_tpu.dataset import PushTStateDataset, generate_pusht_demos
+    from cleandiffuser_tpu.pipelines import DPPipeline
+
+    rb = generate_pusht_demos(n_episodes=4, max_steps=40, seed=0, expert=False)
+
+    def build_ds():
+        return PushTStateDataset(rb, horizon=8, pad_before=1, pad_after=3)
+
+    def build():
+        return DPPipeline(obs_dim=5, action_dim=2, horizon=8, obs_steps=2,
+                          action_steps=4, nn="chi_unet", diffusion="ddpm",
+                          sample_steps=2, gradient_steps=100, rng=2)
+
+    root = jax.random.PRNGKey(4)
+    p1 = build()
+    p1.make_train_scan(build_ds(), 16, 3)(root)
+
+    mesh = make_mesh(8)
+    ds8 = build_ds().place_on_mesh(mesh)
+    p2 = build()
+    place_pipeline(p2, mesh)
+    log = p2.make_train_scan(ds8, 16, 3)(root)
+    assert np.isfinite(np.asarray(log["loss"]))
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1.agent.state.params),
+                    jax.tree_util.tree_leaves(p2.agent.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-4)
