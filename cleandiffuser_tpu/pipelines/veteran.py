@@ -232,6 +232,117 @@ class VeteranPipeline:
                 log["invdyn_loss"] = self.invdyn.update(o0, a0, o1)["loss"]
         return log
 
+    def make_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused planner-stage trainer: `n_steps` x (two device gathers +
+        planner update + guidance-specific stage + policy/invdyn stage) in
+        ONE `lax.scan` program (see runner.make_rl_train_scan). The carry
+        is assembled statically from the config (guidance_type x
+        pipeline_type), so every veteran variant compiles to a single
+        program with no host dispatch inside the window."""
+        gather = dataset.gather_fn(batch_size)
+        gt, sep = self.guidance_type, self.pipeline_type == "separate"
+        use_wrt = gt != "cfg" and self.use_weighted_regression
+        wf = self.weight_factor
+        pl_raw = self.planner._make_update_fn(update_ema=True, has_wrt=use_wrt)
+        pl_raw = getattr(pl_raw, "__wrapped__", pl_raw)
+        add_noise = self.planner.add_noise
+        critic, critic_tx = self.critic, getattr(self, "critic_tx", None)
+        cls_raw = pol_raw = inv_raw = None
+        if gt == "cg":
+            cls_raw = self.planner.classifier._make_update_fn(update_ema=True)
+            cls_raw = getattr(cls_raw, "__wrapped__", cls_raw)
+        if sep and self.policy is not None:
+            pol_raw = self.policy._make_update_fn(update_ema=True, has_wrt=False)
+            pol_raw = getattr(pol_raw, "__wrapped__", pol_raw)
+        elif sep:
+            inv_raw = getattr(self.invdyn._jit_update, "__wrapped__",
+                              self.invdyn._jit_update)
+
+        def body(carry, k):
+            st = dict(carry)
+            # mirror the sequential CLI's split: k1 -> planner batch,
+            # k2 -> policy batch
+            k1, k2 = jax.random.split(k)
+            pb = gather(k1)
+            obs, act, val = pb["obs"]["state"], pb["act"], pb["val"]
+            data = obs if sep else jnp.concatenate([obs, act], -1)
+            log = {}
+            if gt == "cfg":
+                st["planner"], plog = pl_raw(st["planner"], data, val, None)
+            elif use_wrt:
+                wrt = jnp.exp((val - 1.0) * wf)
+                st["planner"], plog = pl_raw(st["planner"], data, None, wrt)
+            else:
+                st["planner"], plog = pl_raw(st["planner"], data, None, None)
+            log["planner_loss"] = plog["loss"]
+
+            if gt == "MCSS":
+                def loss_fn(p):
+                    pred = critic.apply(p, data)
+                    return ((pred - val) ** 2).mean(), pred.mean()
+
+                (vl, vp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    st["critic_params"])
+                updates, new_opt = critic_tx.update(
+                    grads, st["critic_opt"], st["critic_params"])
+                st["critic_params"] = optax.apply_updates(st["critic_params"], updates)
+                st["critic_opt"] = new_opt
+                log["val_loss"], log["val_pred"] = vl, vp
+            elif gt == "cg":
+                xt, t, _ = add_noise(jax.random.fold_in(k1, 1), data)
+                st["classifier"], clog = cls_raw(st["classifier"], xt, t, val)
+                log["classifier_loss"] = clog["loss"]
+
+            if sep:
+                pb2 = gather(k2)
+                p_obs, p_act = pb2["obs"]["state"], pb2["act"]
+                o0, o1, a0 = p_obs[:, 0], p_obs[:, 1], p_act[:, 0]
+                if pol_raw is not None:
+                    st["policy"], plog2 = pol_raw(
+                        st["policy"], a0, jnp.concatenate([o0, o1], -1), None)
+                    log["policy_bc_loss"] = plog2["loss"]
+                else:
+                    ip, io, l = inv_raw(st["inv_params"], st["inv_opt"],
+                                        jax.random.fold_in(k2, 1), o0, a0, o1)
+                    st["inv_params"], st["inv_opt"] = ip, io
+                    log["invdyn_loss"] = l
+            return st, log
+
+        def fused(carry, rng):
+            keys = jax.random.split(rng, n_steps)
+            carry, logs = jax.lax.scan(body, carry, keys)
+            return carry, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            carry = {"planner": self.planner.state}
+            if gt == "MCSS":
+                carry["critic_params"] = self.critic_params
+                carry["critic_opt"] = self.critic_opt_state
+            elif gt == "cg":
+                carry["classifier"] = self.planner.classifier.state
+            if sep and pol_raw is not None:
+                carry["policy"] = self.policy.state
+            elif sep:
+                carry["inv_params"] = self.invdyn.params
+                carry["inv_opt"] = self.invdyn.opt_state
+            carry, log = fused_jit(carry, rng)
+            self.planner.state = carry["planner"]
+            if gt == "MCSS":
+                self.critic_params = carry["critic_params"]
+                self.critic_opt_state = carry["critic_opt"]
+            elif gt == "cg":
+                self.planner.classifier.state = carry["classifier"]
+            if sep and pol_raw is not None:
+                self.policy.state = carry["policy"]
+            elif sep:
+                self.invdyn.params = carry["inv_params"]
+                self.invdyn.opt_state = carry["inv_opt"]
+            return log
+
+        return run
+
     def _critic_step(self, data, val):
         if "critic_step" not in self._fn_cache:
             def critic_step(params, opt_state, data, val):
@@ -250,33 +361,58 @@ class VeteranPipeline:
         return {"val_loss": loss, "val_pred": pred}  # device scalars
 
     # ------------------------------------------------------------------
+    def _make_ev_step(self):
+        def ev_step(state: EVState, batch):
+            obs, next_obs = batch["obs"]["state"], batch["next_obs"]["state"]
+            rew, tml = batch["rew"], batch["tml"]
+            target_v = jax.lax.stop_gradient(
+                rew + (1 - tml) * self.discount
+                * self.ev_net.apply(state.target_params, next_obs)
+            )
+
+            def loss_fn(p):
+                v = self.ev_net.apply(p, obs)
+                return ((v - target_v) ** 2).mean(), v.mean()
+
+            (loss, v_mean), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.ev_tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            target = jax.tree_util.tree_map(
+                lambda t, p: 0.995 * t + 0.005 * p, state.target_params, params
+            )
+            return EVState(params, target, opt_state), {"loss_v": loss, "v_mean": v_mean}
+
+        return ev_step
+
     def train_expected_value_step(self, batch):
         """EV TD step with Polyak target (reference veteran:309-360)."""
         if "ev_step" not in self._fn_cache:
-            def ev_step(state: EVState, batch):
-                obs, next_obs = batch["obs"]["state"], batch["next_obs"]["state"]
-                rew, tml = batch["rew"], batch["tml"]
-                target_v = jax.lax.stop_gradient(
-                    rew + (1 - tml) * self.discount
-                    * self.ev_net.apply(state.target_params, next_obs)
-                )
-
-                def loss_fn(p):
-                    v = self.ev_net.apply(p, obs)
-                    return ((v - target_v) ** 2).mean(), v.mean()
-
-                (loss, v_mean), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-                updates, opt_state = self.ev_tx.update(grads, state.opt_state, state.params)
-                params = optax.apply_updates(state.params, updates)
-                target = jax.tree_util.tree_map(
-                    lambda t, p: 0.995 * t + 0.005 * p, state.target_params, params
-                )
-                return EVState(params, target, opt_state), {"loss_v": loss, "v_mean": v_mean}
-
-            self._fn_cache["ev_step"] = jax.jit(ev_step, donate_argnums=0)
+            self._fn_cache["ev_step"] = jax.jit(self._make_ev_step(), donate_argnums=0)
         self.ev_state, log = self._fn_cache["ev_step"](self.ev_state, batch)
         # device scalars: see DiffusionModel.update (no per-step host sync)
         return log
+
+    def make_ev_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused EV-stage trainer: `n_steps` x (device gather + TD/Polyak
+        update) in ONE `lax.scan` (see runner.make_rl_train_scan)."""
+        gather = dataset.gather_fn(batch_size)
+        ev_step = self._make_ev_step()
+
+        def fused(state, rng):
+            def body(st, k):
+                return ev_step(st, gather(k))
+
+            keys = jax.random.split(rng, n_steps)
+            state, logs = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            self.ev_state, log = fused_jit(self.ev_state, rng)
+            return log
+
+        return run
 
     # ------------------------------------------------------------------
     def act(self, obs_normed, num_candidates: int = 32, rng: Optional[jax.Array] = None):

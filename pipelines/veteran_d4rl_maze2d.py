@@ -18,7 +18,7 @@ from cleandiffuser_tpu.pipelines.data_loading import (
     load_d4rl_dataset,
     load_d4rl_qlearning_dataset,
 )
-from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
+from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, planner_window_fn, train_loop
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.tensors import set_seed
@@ -79,15 +79,23 @@ def pipeline(args):
         train_loop(step, args.planner_diffusion_gradient_steps, args.log_interval,
                    args.save_interval,
                    lambda tag: pipe.planner.save(str(save_path / f"planner_{tag}")),
-                   logger, args.seed)
+                   logger, args.seed,
+                   window_fn=planner_window_fn(pipe, dataset, args, mesh,
+                           steps_key="planner_diffusion_gradient_steps"))
     elif args.mode == "train_expected_value":
         td = D4RLMaze2DTDDataset(load_d4rl_qlearning_dataset(args.task.env_name))
         if mesh is not None:
             td.place_on_mesh(mesh)
+        ev_window = None
+        if ((mesh is None or 256 % mesh.shape.get("dp", 1) == 0)
+                and args.save_interval % args.log_interval == 0
+                and 1_000_000 % args.log_interval == 0):
+            ev_window = pipe.make_ev_train_scan(td, 256, args.log_interval)
         train_loop(
             lambda k: pipe.train_expected_value_step(td.sample_batch(k, 256)),
             1_000_000, args.log_interval, args.save_interval,
             lambda tag: None, logger, args.seed,
+            window_fn=ev_window,
         )
     elif args.mode == "inference":
         pipe.planner.load(str(save_path / "planner_latest"))

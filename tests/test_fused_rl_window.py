@@ -103,6 +103,75 @@ def test_planner_window_matches_sequential(family):
         assert int(pipe_win.classifier.state.step) == 2
 
 
+@pytest.mark.parametrize("guidance,pipeline_type", [
+    ("MCSS", "separate"), ("cfg", "joint"), ("cg", "joint")])
+def test_veteran_window_matches_sequential(guidance, pipeline_type):
+    """Veteran planner-stage fused window vs sequential train_step across
+    the guidance x pipeline grid (planner state must match; secondary
+    stages use their own rng streams -> finiteness + step counts only)."""
+    from cleandiffuser_tpu.dataset import DV_D4RLMuJoCoSeqDataset
+    from cleandiffuser_tpu.dataset.fake import fake_d4rl_dataset
+    from cleandiffuser_tpu.pipelines.veteran import VeteranPipeline
+
+    raw = fake_d4rl_dataset("halfcheetah-medium-v2", n_steps=288, ep_len=48)
+    ds = DV_D4RLMuJoCoSeqDataset(raw, horizon=8, stride=1)
+
+    def mk():
+        return VeteranPipeline(
+            obs_dim=ds.o_dim, act_dim=ds.a_dim, planner_horizon=8,
+            guidance_type=guidance, pipeline_type=pipeline_type,
+            planner_net="transformer", planner_emb_dim=16, planner_d_model=32,
+            planner_depth=1, policy_hidden_dim=32, policy_diffusion_steps=2,
+            gradient_steps=100, planner_sampling_steps=2,
+            policy_sampling_steps=2, rng=0)
+
+    n_steps, batch = 3, 8
+    root = jax.random.PRNGKey(13)
+
+    pipe_seq = mk()
+    for k in jax.random.split(root, n_steps):
+        k1, k2 = jax.random.split(k)
+        pipe_seq.train_step(ds.sample_batch(k1, batch),
+                            ds.sample_batch(k2, batch))
+
+    pipe_win = mk()
+    log = pipe_win.make_train_scan(ds, batch, n_steps)(root)
+    assert all(np.isfinite(np.asarray(v)) for v in log.values()), log
+
+    _assert_states_close(pipe_seq.planner.state.params,
+                         pipe_win.planner.state.params)
+    assert int(pipe_win.planner.state.step) == n_steps
+    if guidance == "MCSS":
+        _assert_states_close(pipe_seq.critic_params, pipe_win.critic_params)
+    if pipeline_type == "separate":
+        assert int(pipe_win.policy.state.step) == n_steps
+
+
+def test_veteran_ev_window_matches_sequential():
+    from cleandiffuser_tpu.dataset import DV_D4RLMuJoCoSeqDataset
+    from cleandiffuser_tpu.dataset.fake import fake_d4rl_dataset
+    from cleandiffuser_tpu.pipelines.veteran import VeteranPipeline
+
+    td = _dataset()
+
+    def mk():
+        return VeteranPipeline(
+            obs_dim=td.o_dim, act_dim=td.a_dim, planner_horizon=8,
+            planner_emb_dim=16, planner_d_model=32, planner_depth=1,
+            policy_hidden_dim=32, policy_diffusion_steps=2,
+            gradient_steps=100, rng=0)
+
+    n_steps, batch = 3, 8
+    root = jax.random.PRNGKey(17)
+    pipe_seq = mk()
+    for k in jax.random.split(root, n_steps):
+        pipe_seq.train_expected_value_step(td.sample_batch(k, batch))
+    pipe_win = mk()
+    log = pipe_win.make_ev_train_scan(td, batch, n_steps)(root)
+    assert np.isfinite(np.asarray(log["loss_v"]))
+    _assert_states_close(pipe_seq.ev_state, pipe_win.ev_state)
+
+
 def test_synther_windows_match_sequential():
     from cleandiffuser_tpu.pipelines.synther import SynthERPipeline, TD3BC
 
