@@ -44,7 +44,7 @@ class QGPOPipeline:
         self.betaQ, self.beta, self.discount = betaQ, beta, discount
 
         self.actor = ContinuousDiffusionSDE(
-            SfBCUNet(act_dim=act_dim),
+            SfBCUNet(act_dim=act_dim, emb_dim=emb_dim),
             MLPCondition(in_dim=obs_dim, out_dim=emb_dim, hidden_dims=(emb_dim,), act=nn.silu),
             ema_rate=ema_rate,
             x_max=np.ones((act_dim,)),
@@ -77,6 +77,128 @@ class QGPOPipeline:
     # ------------------------------------------------------------------
     def bc_train_step(self, batch):
         return self.actor.update(batch["act"], batch["obs"]["state"])
+
+    def make_bc_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused behavior-cloning trainer (see runner.make_rl_train_scan)."""
+        gather = dataset.gather_fn(batch_size)
+        raw = self.actor._make_update_fn(update_ema=True, has_wrt=False)
+        raw = getattr(raw, "__wrapped__", raw)
+
+        def fused(state, rng):
+            def body(st, k):
+                b = gather(k)
+                st, log = raw(st, b["act"], b["obs"]["state"], None)
+                return st, log
+
+            keys = jax.random.split(rng, n_steps)
+            state, logs = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            self.actor.state, log = fused_jit(self.actor.state, rng)
+            return log
+
+        return run
+
+    def _support_store(self, dataset, sup):
+        """Host-backed device constants for the q/cep stages: transitions +
+        the (N, K, act_dim) support set (accelerator-resident closure
+        constants would wedge jit lowering through the tunnel)."""
+        from ..utils.tensors import host_constants
+
+        with host_constants():
+            return {
+                "obs": jnp.asarray(dataset.obs),
+                "next_obs": jnp.asarray(dataset.next_obs),
+                "act": jnp.asarray(dataset.act),
+                "rew": jnp.asarray(dataset.rew),
+                "tml": jnp.asarray(dataset.tml),
+                "sup": jnp.asarray(sup),
+            }
+
+    def make_q_train_scan(self, dataset, sup, batch_size: int, n_steps: int):
+        """Fused support-softmax TD trainer: the CLI's per-step HOST batch
+        assembly (numpy fancy-indexing + H2D of a (B,K,act) support slice
+        every step) moves inside the scan as a device gather."""
+        store = self._support_store(dataset, sup)
+        size = dataset.size
+        q_raw = self._make_q_step()
+
+        def fused(qp, qt, qo, rng):
+            def body(carry, k):
+                qp, qt, qo = carry
+                idx = jax.random.randint(k, (batch_size,), 0, size)
+                batch = {
+                    "obs": {"state": store["obs"][idx]},
+                    "next_obs": {"state": store["next_obs"][idx]},
+                    "act": store["act"][idx], "rew": store["rew"][idx],
+                    "tml": store["tml"][idx],
+                    "supported_act": store["sup"][idx],
+                }
+                qp, qt, qo, loss = q_raw(qp, qt, qo, batch)
+                return (qp, qt, qo), {"q_loss": loss}
+
+            keys = jax.random.split(rng, n_steps)
+            (qp, qt, qo), logs = jax.lax.scan(body, (qp, qt, qo), keys)
+            return qp, qt, qo, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=(0, 1, 2))
+
+        def run(rng):
+            (self.q_params, self.q_target_params, self.q_opt_state,
+             log) = fused_jit(self.q_params, self.q_target_params,
+                              self.q_opt_state, rng)
+            return log
+
+        return run
+
+    def make_cep_train_scan(self, dataset, sup, batch_size: int, n_steps: int):
+        """Fused contrastive-energy trainer: soft labels from the frozen Q
+        + classifier update per step, one scan program."""
+        store = self._support_store(dataset, sup)
+        size = dataset.size
+        # the classifier inits lazily on first update(); the scan bypasses
+        # update, so materialize its state from example shapes first
+        K, A = sup.shape[1], sup.shape[2]
+        ex_x = jnp.zeros((1, K, A))
+        ex_y = {"soft_label": jnp.zeros((1, K, 1)),
+                "obs": jnp.zeros((1, self.obs_dim))}
+        xe, te, ye = self.classifier._init_example(ex_x, jnp.zeros((1,)), ex_y)
+        self.classifier._ensure_init(xe, te, ye)
+        cls_raw = self.classifier._make_update_fn(update_ema=True)
+        cls_raw = getattr(cls_raw, "__wrapped__", cls_raw)
+        q_params = self.q_params
+        add_noise = self.actor.add_noise
+        beta = self.beta
+
+        def fused(c_st, rng):
+            def body(c_st, k):
+                idx = jax.random.randint(k, (batch_size,), 0, size)
+                next_obs = store["next_obs"][idx]
+                sup_b = store["sup"][idx]
+                K = sup_b.shape[1]
+                next_obs_rep = jnp.repeat(next_obs[:, None, :], K, axis=1)
+                pred_q = self.q_net.apply(q_params, next_obs_rep, sup_b)
+                soft_label = jax.nn.softmax(beta * pred_q, axis=1)
+                noisy_act, t, _ = add_noise(jax.random.fold_in(k, 1), sup_b)
+                c_st, log = cls_raw(
+                    c_st, noisy_act, t,
+                    {"soft_label": soft_label, "obs": next_obs})
+                return c_st, log
+
+            keys = jax.random.split(rng, n_steps)
+            c_st, logs = jax.lax.scan(body, c_st, keys)
+            return c_st, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            self.classifier.state, log = fused_jit(self.classifier.state, rng)
+            return log
+
+        return run
 
     # ------------------------------------------------------------------
     def collect_supported_actions(self, next_obs: np.ndarray, batch_size: int = 5000,
@@ -112,40 +234,43 @@ class QGPOPipeline:
         return out
 
     # ------------------------------------------------------------------
+    def _make_q_step(self):
+        def q_step(q_params, q_target_params, q_opt_state, batch):
+            obs, act = batch["obs"]["state"], batch["act"]
+            next_obs, rew, tml = batch["next_obs"]["state"], batch["rew"], batch["tml"]
+            sup = batch["supported_act"]
+            K = sup.shape[1]
+            next_obs_rep = jnp.repeat(next_obs[:, None, :], K, axis=1)
+            next_q = self.q_net.apply(q_target_params, next_obs_rep, sup)
+            w = jax.nn.softmax(self.betaQ * next_q, axis=1)
+            td_target = jax.lax.stop_gradient(
+                rew + self.discount * (1 - tml) * (next_q * w).sum(1)
+            )
+
+            def loss_fn(p):
+                q1, q2 = self.q_net.apply(p, obs, act, method=TwinQ.both)
+                return ((q1 - td_target) ** 2 + (q2 - td_target) ** 2).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(q_params)
+            updates, q_opt_state = self.q_tx.update(grads, q_opt_state, q_params)
+            q_params = optax.apply_updates(q_params, updates)
+            q_target_params = jax.tree_util.tree_map(
+                lambda t, p: 0.995 * t + 0.005 * p, q_target_params, q_params
+            )
+            return q_params, q_target_params, q_opt_state, loss
+
+        return q_step
+
     def q_train_step(self, batch):
         """Softmax-weighted TD backup over the support set
         (reference qgpo:139-146)."""
         if "q_step" not in self._fn_cache:
-            def q_step(q_params, q_target_params, q_opt_state, batch):
-                obs, act = batch["obs"]["state"], batch["act"]
-                next_obs, rew, tml = batch["next_obs"]["state"], batch["rew"], batch["tml"]
-                sup = batch["supported_act"]
-                K = sup.shape[1]
-                next_obs_rep = jnp.repeat(next_obs[:, None, :], K, axis=1)
-                next_q = self.q_net.apply(q_target_params, next_obs_rep, sup)
-                w = jax.nn.softmax(self.betaQ * next_q, axis=1)
-                td_target = jax.lax.stop_gradient(
-                    rew + self.discount * (1 - tml) * (next_q * w).sum(1)
-                )
-
-                def loss_fn(p):
-                    q1, q2 = self.q_net.apply(p, obs, act, method=TwinQ.both)
-                    return ((q1 - td_target) ** 2 + (q2 - td_target) ** 2).mean()
-
-                loss, grads = jax.value_and_grad(loss_fn)(q_params)
-                updates, q_opt_state = self.q_tx.update(grads, q_opt_state, q_params)
-                q_params = optax.apply_updates(q_params, updates)
-                q_target_params = jax.tree_util.tree_map(
-                    lambda t, p: 0.995 * t + 0.005 * p, q_target_params, q_params
-                )
-                return q_params, q_target_params, q_opt_state, loss
-
-            self._fn_cache["q_step"] = jax.jit(q_step, donate_argnums=(0, 1, 2))
+            self._fn_cache["q_step"] = jax.jit(self._make_q_step(),
+                                               donate_argnums=(0, 1, 2))
         self.q_params, self.q_target_params, self.q_opt_state, loss = self._fn_cache["q_step"](
             self.q_params, self.q_target_params, self.q_opt_state, batch
         )
         return {"q_loss": loss}  # device scalar (no per-step host sync)
-
     # ------------------------------------------------------------------
     def cep_train_step(self, batch):
         """Contrastive energy prediction step (reference qgpo:180-196)."""

@@ -94,9 +94,39 @@ class SfBCPipeline:
 
     # ------------------------------------------------------------------
     def bc_train_step(self, batch):
-        obs = np.asarray(batch["obs"]["state"]).reshape(-1, self.obs_dim)
-        act = np.asarray(batch["act"]).reshape(-1, self.act_dim)
+        # keep on device: np.asarray here would force a host round-trip
+        # (30ms each over the tunnel) per train step
+        obs = jnp.reshape(batch["obs"]["state"], (-1, self.obs_dim))
+        act = jnp.reshape(batch["act"], (-1, self.act_dim))
         return self.actor.update(act, obs)
+
+    def make_bc_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused BC trainer: `n_steps` x (device gather + window flatten +
+        diffusion update) in ONE `lax.scan` (see runner.make_rl_train_scan)."""
+        gather = dataset.gather_fn(batch_size)
+        raw = self.actor._make_update_fn(update_ema=True, has_wrt=False)
+        raw = getattr(raw, "__wrapped__", raw)
+        O, A = self.obs_dim, self.act_dim
+
+        def fused(state, rng):
+            def body(st, k):
+                b = gather(k)
+                obs = jnp.reshape(b["obs"]["state"], (-1, O))
+                act = jnp.reshape(b["act"], (-1, A))
+                st, log = raw(st, act, obs, None)
+                return st, log
+
+            keys = jax.random.split(rng, n_steps)
+            state, logs = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            self.actor.state, log = fused_jit(self.actor.state, rng)
+            return log
+
+        return run
 
     def critic_train_step(self, obs, act, val):
         self.critic_params, self.critic_opt_state, loss = self._critic_update(

@@ -43,15 +43,18 @@ def pipeline(args):
         dataset.place_on_mesh(mesh)
 
     if args.mode == "bc_training":
-        rng = jax.random.PRNGKey(args.seed)
-        for step in range(args.bc_gradient_steps):
-            rng, k = jax.random.split(rng)
-            log = pipe.bc_train_step(dataset.sample_batch(k, 256))
-            if (step + 1) % args.log_interval == 0:
-                print({"gradient_steps": step + 1, **log})
-                logger.log({"gradient_steps": step + 1, **log}, "train")
-            if (step + 1) % args.save_interval == 0:
-                pipe.actor.save(str(save_path / "diffusion_ckpt_latest"))
+        from cleandiffuser_tpu.pipelines.runner import train_loop
+
+        window_fn = None
+        if (mesh is None and args.save_interval % args.log_interval == 0
+                and args.bc_gradient_steps % args.log_interval == 0):
+            window_fn = pipe.make_bc_train_scan(dataset, 256, args.log_interval)
+        train_loop(
+            lambda k: pipe.bc_train_step(dataset.sample_batch(k, 256)),
+            args.bc_gradient_steps, args.log_interval, args.save_interval,
+            lambda tag: pipe.actor.save(str(save_path / "diffusion_ckpt_latest")),
+            logger, args.seed, window_fn=window_fn,
+        )
 
     elif args.mode == "supported_action_collecting":
         pipe.actor.load(str(save_path / "diffusion_ckpt_latest"))
@@ -68,19 +71,38 @@ def pipeline(args):
         if args.mode == "cep_training" and q_path.exists():
             with open(q_path, "rb") as f:
                 pipe.q_params = pickle.load(f)
-        for step in range(steps):
-            rng, k = jax.random.split(rng)
-            idx = np.asarray(jax.random.randint(k, (256,), 0, dataset.size))
-            batch = {
-                "obs": {"state": dataset.obs[idx]},
-                "next_obs": {"state": dataset.next_obs[idx]},
-                "act": dataset.act[idx], "rew": dataset.rew[idx],
-                "tml": dataset.tml[idx], "supported_act": sup[idx],
-            }
-            log = pipe.q_train_step(batch) if args.mode == "q_training" else pipe.cep_train_step(batch)
-            if (step + 1) % args.log_interval == 0:
-                print({"gradient_steps": step + 1, **log})
-                logger.log({"gradient_steps": step + 1, **log}, args.mode)
+        # fused windows: the per-step HOST batch assembly (numpy fancy
+        # indexing + (B,K,act) support H2D each step) moves on device
+        if mesh is None and steps % args.log_interval == 0:
+            mk = (pipe.make_q_train_scan if args.mode == "q_training"
+                  else pipe.make_cep_train_scan)
+            window = mk(dataset, sup, 256, args.log_interval)
+            import time
+            t0 = time.time()
+            for w in range(steps // args.log_interval):
+                rng, k = jax.random.split(rng)
+                log = window(k)
+                out = {k2: float(v) for k2, v in log.items()}
+                out["gradient_steps"] = (w + 1) * args.log_interval
+                now = time.time()
+                out["steps_per_sec"] = round(args.log_interval / max(now - t0, 1e-9), 2)
+                t0 = now
+                print(out)
+                logger.log(out, args.mode)
+        else:
+            for step in range(steps):
+                rng, k = jax.random.split(rng)
+                idx = np.asarray(jax.random.randint(k, (256,), 0, dataset.size))
+                batch = {
+                    "obs": {"state": dataset.obs[idx]},
+                    "next_obs": {"state": dataset.next_obs[idx]},
+                    "act": dataset.act[idx], "rew": dataset.rew[idx],
+                    "tml": dataset.tml[idx], "supported_act": sup[idx],
+                }
+                log = pipe.q_train_step(batch) if args.mode == "q_training" else pipe.cep_train_step(batch)
+                if (step + 1) % args.log_interval == 0:
+                    print({"gradient_steps": step + 1, **log})
+                    logger.log({"gradient_steps": step + 1, **log}, args.mode)
         if args.mode == "q_training":
             with open(q_path, "wb") as f:
                 pickle.dump(jax.tree_util.tree_map(np.asarray, pipe.q_params), f)

@@ -15,7 +15,7 @@ import numpy as np
 from cleandiffuser_tpu.dataset import D4RLMuJoCoDataset
 from cleandiffuser_tpu.pipelines import SfBCPipeline
 from cleandiffuser_tpu.pipelines.data_loading import load_d4rl_dataset
-from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop
+from cleandiffuser_tpu.pipelines.runner import d4rl_eval_loop, train_loop
 from cleandiffuser_tpu.utils.config import load_config, parse_cli
 from cleandiffuser_tpu.utils.logger import Logger
 from cleandiffuser_tpu.utils.normalizers import GaussianNormalizer
@@ -49,16 +49,18 @@ def pipeline(args):
         dataset.place_on_mesh(mesh)
 
     if args.mode == "bc_training":
-        rng = jax.random.PRNGKey(args.seed)
-        for step in range(args.bc_gradient_steps):
-            rng, k = jax.random.split(rng)
-            log = pipe.bc_train_step(dataset.sample_batch(k, 8))
-            if (step + 1) % args.log_interval == 0:
-                print({"gradient_steps": step + 1, **log})
-                logger.log({"gradient_steps": step + 1, **log}, "train")
-            if (step + 1) % args.save_interval == 0:
-                pipe.save(str(save_path / f"ckpt_{step + 1}"))
-                pipe.save(str(save_path / "ckpt_latest"))
+        window_fn = None
+        if ((mesh is None or args.batch_size % mesh.shape.get("dp", 1) == 0)
+                and args.save_interval % args.log_interval == 0
+                and args.bc_gradient_steps % args.log_interval == 0):
+            window_fn = pipe.make_bc_train_scan(dataset, args.batch_size,
+                                                args.log_interval)
+        train_loop(
+            lambda k: pipe.bc_train_step(dataset.sample_batch(k, args.batch_size)),
+            args.bc_gradient_steps, args.log_interval, args.save_interval,
+            lambda tag: pipe.save(str(save_path / f"ckpt_{tag}")), logger, args.seed,
+            window_fn=window_fn,
+        )
 
     elif args.mode == "critic_training":
         pipe.load(str(save_path / f"ckpt_{args.eval_actor_ckpt}"))

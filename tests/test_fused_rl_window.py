@@ -199,6 +199,64 @@ def test_synther_windows_match_sequential():
     _assert_states_close(seq_a.state.critic_params, win_a.state.critic_params)
 
 
+def test_sfbc_bc_window_matches_sequential():
+    from cleandiffuser_tpu.dataset import D4RLMuJoCoDataset
+    from cleandiffuser_tpu.dataset.fake import fake_d4rl_dataset
+    from cleandiffuser_tpu.pipelines.sfbc import SfBCPipeline
+
+    raw = fake_d4rl_dataset("halfcheetah-medium-v2", n_steps=288, ep_len=48)
+    ds = D4RLMuJoCoDataset(raw, horizon=4)
+    n_steps, batch = 3, 4
+    root = jax.random.PRNGKey(19)
+
+    def mk():
+        return SfBCPipeline(obs_dim=ds.o_dim, act_dim=ds.a_dim, emb_dim=16,
+                            hidden_dim=32, rng=0)
+
+    seq = mk()
+    for k in jax.random.split(root, n_steps):
+        seq.bc_train_step(ds.sample_batch(k, batch))
+    win = mk()
+    log = win.make_bc_train_scan(ds, batch, n_steps)(root)
+    assert np.isfinite(np.asarray(log["loss"]))
+    _assert_states_close(seq.actor.state.params, win.actor.state.params)
+
+
+def test_qgpo_windows_match_sequential():
+    from cleandiffuser_tpu.pipelines.qgpo import QGPOPipeline
+
+    ds = _dataset()
+    n_steps, batch = 3, 8
+    root = jax.random.PRNGKey(23)
+
+    def mk():
+        return QGPOPipeline(obs_dim=ds.o_dim, act_dim=ds.a_dim, emb_dim=16,
+                            K=4, rng=0)
+
+    rng_np = np.random.default_rng(0)
+    sup = rng_np.standard_normal((ds.size, 4, ds.a_dim)).astype(np.float32)
+
+    # q stage: fused vs sequential with identical index keys
+    seq, win = mk(), mk()
+    for k in jax.random.split(root, n_steps):
+        idx = np.asarray(jax.random.randint(k, (batch,), 0, ds.size))
+        seq.q_train_step({
+            "obs": {"state": ds.obs[idx]},
+            "next_obs": {"state": ds.next_obs[idx]},
+            "act": ds.act[idx], "rew": ds.rew[idx], "tml": ds.tml[idx],
+            "supported_act": sup[idx],
+        })
+    log = win.make_q_train_scan(ds, sup, batch, n_steps)(root)
+    assert np.isfinite(np.asarray(log["q_loss"]))
+    _assert_states_close(seq.q_params, win.q_params)
+    _assert_states_close(seq.q_target_params, win.q_target_params)
+
+    # cep stage: its own rng stream for add_noise -> finiteness + steps
+    log = win.make_cep_train_scan(ds, sup, batch, n_steps)(root)
+    assert all(np.isfinite(np.asarray(v)) for v in log.values())
+    assert int(win.classifier.state.step) == n_steps
+
+
 def test_rl_window_fn_alignment_gates():
     ds = _dataset()
     from cleandiffuser_tpu.pipelines import DQLPipeline
