@@ -121,6 +121,74 @@ class DiffuserLitePipeline:
                 log["invdyn_loss"] = self.invdyn.update(o, a, o2)["loss"]
         return log
 
+    def make_train_scan(self, dataset, batch_size: int, n_steps: int,
+                        invdyn_budget: int):
+        """Fused hierarchy trainer: `n_steps` x (per-level device gathers +
+        per-level RF updates + budget-gated invdyn update) in ONE `lax.scan`
+        program (see runner.make_rl_train_scan). The invdyn budget gates on
+        the DEVICE step counter via `lax.cond` (CLI semantics: global step
+        < invdyn_gradient_steps)."""
+        gathers = [dataset._samplers[i].gather_fn(batch_size)
+                   for i in range(self.n_levels)]
+        raws = []
+        for d in self.diffusions:
+            r = d._make_update_fn(update_ema=True, has_wrt=False)
+            raws.append(getattr(r, "__wrapped__", r))
+        inv_raw = getattr(self.invdyn._jit_update, "__wrapped__",
+                          self.invdyn._jit_update)
+        scale = self.return_scale
+        O, A = self.obs_dim, self.act_dim
+
+        def body(carry, k):
+            dif_states, ip, io = carry
+            dif_states = list(dif_states)
+            log = {}
+            for i in range(self.n_levels):
+                out = gathers[i](k)  # CLI samples every level with the same key
+                batch_i = {"obs": {"state": out["obs"]}, "act": out["act"],
+                           "val": out["val"]}
+                obs, act = self._level_strided(batch_i, i)
+                val = batch_i["val"] / scale
+                # RF engines take an extra x1 arg (reflow pair; None here)
+                dif_states[i], dlog = raws[i](dif_states[i], obs, val, None, None)
+                log[f"loss{i}"] = dlog["loss"]
+                if i == self.n_levels - 1:
+                    def with_inv(arg):
+                        ip, io = arg
+                        o = obs[:, :-1].reshape(-1, O)
+                        a = act[:, :-1].reshape(-1, A)
+                        o2 = obs[:, 1:].reshape(-1, O)
+                        return inv_raw(ip, io, jax.random.fold_in(k, 99),
+                                       o, a, o2)
+
+                    # post-update step == global step + 1, so `<= budget`
+                    # reproduces the CLI's 0-based `step < budget` gate
+                    ip, io, inv_loss = jax.lax.cond(
+                        dif_states[i].step <= invdyn_budget, with_inv,
+                        lambda arg: (arg[0], arg[1], jnp.float32(0.0)),
+                        (ip, io))
+                    log["invdyn_loss"] = inv_loss
+            return (tuple(dif_states), ip, io), log
+
+        def fused(dif_states, ip, io, rng):
+            keys = jax.random.split(rng, n_steps)
+            (dif_states, ip, io), logs = jax.lax.scan(
+                body, (dif_states, ip, io), keys)
+            return dif_states, ip, io, jax.tree_util.tree_map(
+                lambda v: v.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=(0, 1, 2))
+
+        def run(rng):
+            dif_states, self.invdyn.params, self.invdyn.opt_state, log = fused_jit(
+                tuple(d.state for d in self.diffusions),
+                self.invdyn.params, self.invdyn.opt_state, rng)
+            for d, st in zip(self.diffusions, dif_states):
+                d.state = st
+            return log
+
+        return run
+
     # ------------------------------------------------------------------
     def prepare_reflow_pairs(self, batches, sampling_steps: int = 20, conditioned=True):
         """Generate (sample, noise[, condition]) pairs for reflow

@@ -64,15 +64,37 @@ def pipeline(args):
 
     if args.mode == "training":
         rng = jax.random.PRNGKey(args.seed)
-        for step in range(args.diffusion_gradient_steps):
+        window = None
+        if (mesh is None and args.save_interval % args.log_interval == 0
+                and args.diffusion_gradient_steps % args.log_interval == 0
+                and args.invdyn_gradient_steps % args.log_interval == 0):
+            # one XLA program per log window (all levels + invdyn budget
+            # gated on the device step counter)
+            window = pipe.make_train_scan(dataset, args.batch_size,
+                                          args.log_interval,
+                                          args.invdyn_gradient_steps)
+        import time
+        t0 = time.time()
+        step = 0
+        while step < args.diffusion_gradient_steps:
             rng, k = jax.random.split(rng)
-            log = pipe.train_step(batches(k), step < args.invdyn_gradient_steps)
-            if (step + 1) % args.log_interval == 0:
-                log["gradient_steps"] = step + 1
-                print(log)
-                logger.log(log, "train")
-            if (step + 1) % args.save_interval == 0:
-                pipe.save(str(save_path / f"ckpt_{step + 1}"))
+            if window is not None:
+                log = {k2: float(v) for k2, v in window(k).items()}
+                step += args.log_interval
+            else:
+                log = pipe.train_step(batches(k), step < args.invdyn_gradient_steps)
+                step += 1
+                if step % args.log_interval != 0:
+                    continue
+                log = {k2: float(v) for k2, v in log.items()}
+            log["gradient_steps"] = step
+            now = time.time()
+            log["steps_per_sec"] = round(args.log_interval / max(now - t0, 1e-9), 2)
+            t0 = now
+            print(log)
+            logger.log(log, "train")
+            if step % args.save_interval == 0:
+                pipe.save(str(save_path / f"ckpt_{step}"))
                 pipe.save(str(save_path / "ckpt_latest"))
 
     elif args.mode == "prepare_dataset":

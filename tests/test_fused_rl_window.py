@@ -199,6 +199,41 @@ def test_synther_windows_match_sequential():
     _assert_states_close(seq_a.state.critic_params, win_a.state.critic_params)
 
 
+def test_diffuserlite_window_matches_sequential():
+    from cleandiffuser_tpu.dataset import MultiHorizonD4RLMuJoCoDataset
+    from cleandiffuser_tpu.dataset.fake import fake_d4rl_dataset
+    from cleandiffuser_tpu.pipelines.diffuserlite import DiffuserLitePipeline
+
+    from cleandiffuser_tpu.pipelines import compute_temporal_horizons
+
+    planning = (5, 9)
+    temporal = compute_temporal_horizons(planning)  # [33, 9]
+    raw = fake_d4rl_dataset("halfcheetah-medium-v2", n_steps=400, ep_len=100)
+    ds = MultiHorizonD4RLMuJoCoDataset(raw, horizons=temporal)
+
+    def mk():
+        return DiffuserLitePipeline(
+            obs_dim=ds.o_dim, act_dim=ds.a_dim, planning_horizons=planning,
+            emb_dim=16, d_model=32, n_heads=2, depth=1,
+            diffusion_gradient_steps=100, rng=0)
+
+    n_steps, batch = 3, 8
+    root = jax.random.PRNGKey(29)
+
+    seq = mk()
+    for i, k in enumerate(jax.random.split(root, n_steps)):
+        seq.train_step([ds.sample_batch(k, batch, horizon_idx=j)
+                        for j in range(2)], i < 2)
+
+    win = mk()
+    log = win.make_train_scan(ds, batch, n_steps, invdyn_budget=2)(root)
+    assert all(np.isfinite(np.asarray(v)) for v in log.values()), log
+
+    for a, b in zip(seq.diffusions, win.diffusions):
+        _assert_states_close(a.state.params, b.state.params)
+        assert int(b.state.step) == n_steps
+
+
 def test_sfbc_bc_window_matches_sequential():
     from cleandiffuser_tpu.dataset import D4RLMuJoCoDataset
     from cleandiffuser_tpu.dataset.fake import fake_d4rl_dataset
