@@ -108,6 +108,39 @@ class DBCImagePipeline:
         naction = batch["action"][:, self.To - 1]
         return self.agent.update(naction, cond)
 
+    def make_train_scan(self, dataset, batch_size: int, n_steps: int):
+        """Fused image-DBC trainer (mirrors DPImagePipeline.make_train_scan):
+        `n_steps` x (uint8 device gather + vision-condition encode +
+        grad/opt/EMA) in ONE `lax.scan`; the device store is passed as jit
+        ARGUMENTS (see dp_image.py for why closure constants fail here)."""
+        raw = self.agent._make_update_fn(update_ema=True, has_wrt=False)
+        raw = getattr(raw, "__wrapped__", raw)
+
+        def fused(state, arrays, widx, rng):
+            N = widx.shape[0]
+
+            def body(state, k):
+                ks, _ = jax.random.split(k)
+                i = jax.random.randint(ks, (batch_size,), 0, N)
+                rows = widx[i]
+                batch = jax.tree_util.tree_map(lambda a: a[rows], arrays)
+                cond = self._condition_of(batch["obs"])
+                state, log = raw(state, batch["action"][:, self.To - 1], cond, None)
+                return state, log
+
+            keys = jax.random.split(rng, n_steps)
+            state, logs = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(lambda x: x.mean(), logs)
+
+        fused_jit = jax.jit(fused, donate_argnums=0)
+
+        def run(rng):
+            arrays, widx = dataset._placed_store()
+            self.agent.state, log = fused_jit(self.agent.state, arrays, widx, rng)
+            return log
+
+        return run
+
     def act(self, obs: Dict, rng: Optional[jax.Array] = None):
         cond = self._condition_of(obs)
         b = next(iter(cond.values())).shape[0]

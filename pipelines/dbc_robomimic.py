@@ -56,17 +56,41 @@ def pipeline(args):
 
     if args.mode == "train":
         rng = jax.random.PRNGKey(args.seed)
+        fused = (hasattr(pipe, "make_train_scan")
+                 and (mesh is None or args.batch_size % mesh.shape.get("dp", 1) == 0)
+                 and args.save_freq % args.log_freq == 0
+                 and args.gradient_steps % args.log_freq == 0)
+        if fused:
+            # one XLA program per log window: gather+update x log_freq
+            train_window = pipe.make_train_scan(dataset, args.batch_size,
+                                                args.log_freq)
+        import time
+        t_window = time.time()
+        step = 0
         losses = []
-        for step in range(args.gradient_steps):
-            rng, k = jax.random.split(rng)
-            log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
-            losses.append(log["loss"])
-            if (step + 1) % args.log_freq == 0:
-                m = {"step": step + 1, "avg_loss": float(sum(losses)) / len(losses)}
-                print(m)
-                logger.log(m, "train")
+        while step < args.gradient_steps:
+            prev_step = step
+            if fused:
+                rng, k = jax.random.split(rng)
+                log = train_window(k)
+                step += args.log_freq
+                avg_loss = float(log["loss"])
+            else:
+                window = min(args.log_freq, args.gradient_steps - step)
+                for _ in range(window):
+                    rng, k = jax.random.split(rng)
+                    log = pipe.train_step(dataset.sample_batch(k, args.batch_size))
+                    losses.append(log["loss"])
+                step += window
+                avg_loss = float(sum(losses)) / len(losses)
                 losses = []
-            if (step + 1) % args.save_freq == 0:
+            now = time.time()
+            m = {"step": step, "avg_loss": avg_loss,
+                 "steps_per_sec": round(args.log_freq / max(now - t_window, 1e-9), 1)}
+            t_window = now
+            print(m)
+            logger.log(m, "train")
+            if step // args.save_freq > prev_step // args.save_freq:
                 pipe.save(str(save_path / "ckpt_latest"))
     elif args.mode == "inference":
         pipe.load(str(save_path / "ckpt_latest"))
