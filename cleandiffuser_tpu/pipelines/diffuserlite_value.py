@@ -195,8 +195,40 @@ def build_candidate_plan_fn(pipe: DiffuserLitePipeline, iql: IQL,
 # ---------------------------------------------------------------------------
 def train_iql(iql: IQL, dataset, gradient_steps: int, batch_size: int,
               log_interval: int, save_interval: int, save_fn, seed: int = 0):
-    """IQL pre-training stage (reference mode=iql_training :112-146)."""
+    """IQL pre-training stage (reference mode=iql_training :112-146).
+
+    Fused path: log_interval x (device gather + V update + Q/target update)
+    in ONE lax.scan program (see runner.make_rl_train_scan)."""
     rng = jax.random.PRNGKey(seed)
+    if gradient_steps % log_interval == 0 and save_interval % log_interval == 0:
+        gather = dataset.gather_fn(batch_size)
+        upd_v, upd_q = iql._update_v, iql._update_q
+
+        def window(state, r):
+            def body(st, k):
+                b = gather(k)
+                obs, act = b["obs"]["state"], b["act"]
+                st, lv = upd_v(st, obs, act)
+                st, lq = upd_q(st, obs, act, b["rew"], b["next_obs"]["state"],
+                               b["tml"])
+                return st, {"loss_v": lv, "loss_q": lq}
+
+            keys = jax.random.split(r, log_interval)
+            st, logs = jax.lax.scan(body, state, keys)
+            return st, jax.tree_util.tree_map(lambda v: v.mean(), logs)
+
+        window_jit = jax.jit(window, donate_argnums=0)
+        step = 0
+        while step < gradient_steps:
+            rng, k = jax.random.split(rng)
+            iql.state, log = window_jit(iql.state, k)
+            step += log_interval
+            print({k_: float(v) for k_, v in log.items()},
+                  {"gradient_steps": step})
+            if step % save_interval == 0:
+                save_fn()
+        return
+
     log = {"loss_v": 0.0, "loss_q": 0.0}
     for step in range(gradient_steps):
         rng, k = jax.random.split(rng)
