@@ -53,6 +53,14 @@ MAZE2D_GYM_IDS = {
     "maze2d-large-v1": "PointMaze_Large-v3",
 }
 
+# d4rl maze2d episode lengths (d4rl pointmaze registrations; the reference
+# configs/veteran/maze2d/task/*.yaml carry the same max_path_length values)
+MAZE2D_EVAL_MAX_STEPS = {
+    "maze2d-umaze-v1": 300,
+    "maze2d-medium-v1": 600,
+    "maze2d-large-v1": 800,
+}
+
 
 class _FlattenGoalEnv:
     """Common plumbing: flatten a goal-env dict obs to a d4rl vector."""
@@ -143,6 +151,11 @@ def make_antmaze_env(env_name: str, render_mode=None):
 
 
 def make_maze2d_env(env_name: str, render_mode=None):
+    """d4rl maze2d eval semantics: the goal is sampled once per reset and
+    FIXED for the episode, reward is 1 per step within the goal radius with
+    no termination, and the episode runs the full d4rl path length (the
+    reference eval latches `finished |= rew==1; ep_reward += finished`,
+    veteran_d4rl_maze2d.py:444-450 — handled by runner.d4rl_eval_loop)."""
     import gymnasium as gym
     import gymnasium_robotics  # noqa: F401
 
@@ -151,5 +164,7 @@ def make_maze2d_env(env_name: str, render_mode=None):
     if gid is None:
         raise ValueError(f"no gymnasium mapping for {env_name}")
     return PointMazeD4RLWrapper(
-        gym.make(gid, continuing_task=False, render_mode=render_mode)
+        gym.make(gid, continuing_task=True, reset_target=False,
+                 max_episode_steps=MAZE2D_EVAL_MAX_STEPS[env_name],
+                 render_mode=render_mode)
     )

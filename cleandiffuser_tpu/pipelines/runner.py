@@ -184,7 +184,10 @@ def d4rl_eval_loop(
                  (reference diffuser_d4rl_antmaze.py:156-162)
     - "kitchen": ep_reward += rew, clipped to [0, 4], 280-step horizon
                  (reference diffuser_d4rl_kitchen.py:130,155-160)
-    - "maze2d":  ep_reward += rew (dense goal-distance reward, no clip)
+    - "maze2d":  finished |= (rew == 1); ep_reward += finished — the latch
+                 counts steps-since-first-goal-reach (reference
+                 veteran_d4rl_maze2d.py:442-446, d4rl "continuous reward at
+                 done" scoring); episode runs the full d4rl path length
     """
     from .data_loading import get_normalized_score_fn, make_eval_env_fns
     from ..env.wrapper import DuckSyncVectorEnv
@@ -205,6 +208,7 @@ def d4rl_eval_loop(
         obs, _ = envs.reset(seed=seed + ep)
         ep_reward = np.zeros(num_envs)
         cum_done = np.zeros(num_envs)
+        finished = np.zeros(num_envs, dtype=bool)
         t = 0
         while not np.all(cum_done) and t < max_steps + 1:
             nobs = normalizer.normalize(obs)
@@ -216,6 +220,9 @@ def d4rl_eval_loop(
             cum_done = np.logical_or(cum_done, done)
             if reward_mode == "mujoco":
                 ep_reward += rew * (1 - cum_done) if t < max_steps else rew
+            elif reward_mode == "maze2d":
+                finished |= rew == 1.0
+                ep_reward += finished
             else:
                 ep_reward += rew
         if clip_hi is not None:

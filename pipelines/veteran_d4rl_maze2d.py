@@ -102,7 +102,8 @@ def pipeline(args):
         d4rl_eval_loop(
             lambda nobs: pipe.act(nobs, num_candidates=args.planner_num_candidates)[0],
             args.task.env_name, dataset.get_normalizer(),
-            args.num_envs, args.num_episodes, args.seed, logger=logger,
+            args.num_envs, args.num_episodes, args.seed,
+            max_steps=args.task.max_path_length, logger=logger,
             reward_mode="maze2d",
         )
     else:
