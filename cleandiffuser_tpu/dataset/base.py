@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.tensors import host_constants
 
 __all__ = ["BaseDataset", "DeviceSeqSampler", "DeviceTDSampler"]
 
@@ -114,13 +113,17 @@ class DeviceSeqSampler:
         stride: int = 1,
         scalars: Optional[Dict[str, np.ndarray]] = None,
     ):
-        # host-backed store: the whole dataset closes over the jitted
-        # gather as an MLIR constant — accelerator-resident constants make
-        # lowering fetch them back through the (tunneled) device link
-        with host_constants():
-            self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
-            self.scalars = {k: jnp.asarray(v) for k, v in (scalars or {}).items()}
-            self.indices = jnp.asarray(np.asarray(indices, np.int32))
+        # ref-backed store: jitted programs embed closed-over ARRAYS as
+        # MLIR constants by value (a real-data store is hundreds of MB —
+        # the serialized program blows the tunnel's upload limit, and
+        # accelerator-resident constants wedge lowering on fetch-back).
+        # Closed-over `jax.Ref`s instead become implicit runtime arguments:
+        # the store lives in device HBM once and every gather program
+        # references it by handle.
+        self.arrays = {k: jax.new_ref(jnp.asarray(v)) for k, v in arrays.items()}
+        self.scalars = {k: jax.new_ref(jnp.asarray(v))
+                        for k, v in (scalars or {}).items()}
+        self.indices = jax.new_ref(jnp.asarray(np.asarray(indices, np.int32)))
         self.horizon, self.stride = horizon, stride
         self._jit_cache = {}
         self._out_sharding = None
@@ -130,9 +133,10 @@ class DeviceSeqSampler:
         from ..parallel.mesh import batch_sharded, replicated
 
         rep = replicated(mesh)
-        self.arrays = {k: jax.device_put(v, rep) for k, v in self.arrays.items()}
-        self.scalars = {k: jax.device_put(v, rep) for k, v in self.scalars.items()}
-        self.indices = jax.device_put(self.indices, rep)
+        reput = lambda r: jax.new_ref(jax.device_put(r[...], rep))
+        self.arrays = {k: reput(v) for k, v in self.arrays.items()}
+        self.scalars = {k: reput(v) for k, v in self.scalars.items()}
+        self.indices = reput(self.indices)
         self._out_sharding = batch_sharded(mesh, axis)
         self._dp_size = mesh.shape[axis]
         self._jit_cache = {}
@@ -147,11 +151,12 @@ class DeviceSeqSampler:
 
         def sample(rng):
             k = jax.random.randint(rng, (batch_size,), 0, N)
-            path = indices[k, 0]
-            start = indices[k, 1]
+            idx = indices[...]
+            path = idx[k, 0]
+            start = idx[k, 1]
 
             def gather_one(name):
-                arr = arrays[name]
+                arr = arrays[name][...]
 
                 def slice_one(p, s):
                     full = jax.lax.dynamic_slice(
@@ -162,8 +167,9 @@ class DeviceSeqSampler:
                 return jax.vmap(slice_one)(path, start)
 
             out = {name: gather_one(name) for name in arrays}
-            for name, arr in scalars.items():
+            for name, ref in scalars.items():
                 # scalar-per-window: value at the window start
+                arr = ref[...]
                 out[name] = jax.vmap(lambda p, s: arr[p, s])(path, start)
             return _constrain(out, out_sharding)
 
@@ -185,8 +191,8 @@ class DeviceTDSampler:
     """Device-resident flat transition store with random gather."""
 
     def __init__(self, arrays: Dict[str, np.ndarray]):
-        with host_constants():  # see DeviceSeqSampler: lowering locality
-            self.arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        # ref-backed store — see DeviceSeqSampler.__init__
+        self.arrays = {k: jax.new_ref(jnp.asarray(v)) for k, v in arrays.items()}
         self.size = next(iter(arrays.values())).shape[0]
         self._jit_cache = {}
         self._out_sharding = None
@@ -195,8 +201,10 @@ class DeviceTDSampler:
     def place_on_mesh(self, mesh, axis: str = "dp"):
         from ..parallel.mesh import batch_sharded, replicated
 
+        rep = replicated(mesh)
         self.arrays = {
-            k: jax.device_put(v, replicated(mesh)) for k, v in self.arrays.items()
+            k: jax.new_ref(jax.device_put(v[...], rep))
+            for k, v in self.arrays.items()
         }
         self._out_sharding = batch_sharded(mesh, axis)
         self._dp_size = mesh.shape[axis]
@@ -210,7 +218,8 @@ class DeviceTDSampler:
 
         def sample(rng):
             k = jax.random.randint(rng, (batch_size,), 0, size)
-            out = {name: jnp.take(arr, k, axis=0) for name, arr in arrays.items()}
+            out = {name: jnp.take(ref[...], k, axis=0)
+                   for name, ref in arrays.items()}
             return _constrain(out, out_sharding)
 
         return sample

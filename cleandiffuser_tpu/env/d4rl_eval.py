@@ -61,6 +61,16 @@ MAZE2D_EVAL_MAX_STEPS = {
     "maze2d-large-v1": 800,
 }
 
+# d4rl maze2d eval targets are FIXED per layout (d4rl pointmaze
+# maze_model.py registrations: umaze (1,1), medium (6,6), large (7,9) in
+# cell coordinates); reset location is random. gymnasium's open maps
+# sample the goal randomly, so the wrapper pins it via reset options.
+MAZE2D_EVAL_GOAL_CELL = {
+    "maze2d-umaze-v1": (1, 1),
+    "maze2d-medium-v1": (6, 6),
+    "maze2d-large-v1": (7, 9),
+}
+
 
 class _FlattenGoalEnv:
     """Common plumbing: flatten a goal-env dict obs to a d4rl vector."""
@@ -121,13 +131,22 @@ class AntMazeD4RLWrapper(_FlattenGoalEnv):
 
 class PointMazeD4RLWrapper(_FlattenGoalEnv):
     """obs = observation (4: qpos, qvel) = d4rl's maze2d layout; the goal
-    xy (needed by goal-reaching planners) is exposed via `.goal`."""
+    xy (needed by goal-reaching planners) is exposed via `.goal`. If
+    `goal_cell` is given, every reset pins the goal there (d4rl's fixed
+    per-layout eval target); the reset location stays random."""
 
     _obs_keys = ("observation",)
 
-    def __init__(self, env):
+    def __init__(self, env, goal_cell=None):
         super().__init__(env)
         self.goal = np.zeros(2, dtype=np.float32)
+        self._goal_cell = (None if goal_cell is None
+                           else np.asarray(goal_cell, dtype=np.int64))
+
+    def reset(self, **kwargs):
+        if self._goal_cell is not None and "options" not in kwargs:
+            kwargs["options"] = {"goal_cell": self._goal_cell}
+        return super().reset(**kwargs)
 
     def _flatten(self, obs_dict) -> np.ndarray:
         self.goal = np.asarray(obs_dict["desired_goal"], dtype=np.float32)
@@ -151,10 +170,11 @@ def make_antmaze_env(env_name: str, render_mode=None):
 
 
 def make_maze2d_env(env_name: str, render_mode=None):
-    """d4rl maze2d eval semantics: the goal is sampled once per reset and
-    FIXED for the episode, reward is 1 per step within the goal radius with
-    no termination, and the episode runs the full d4rl path length (the
-    reference eval latches `finished |= rew==1; ep_reward += finished`,
+    """d4rl maze2d eval semantics: the goal is d4rl's FIXED per-layout
+    target on every reset (reset location random), reward is 1 per step
+    within the goal radius with no termination, and the episode runs the
+    full d4rl path length (the reference eval latches
+    `finished |= rew==1; ep_reward += finished`,
     veteran_d4rl_maze2d.py:444-450 — handled by runner.d4rl_eval_loop)."""
     import gymnasium as gym
     import gymnasium_robotics  # noqa: F401
@@ -166,5 +186,6 @@ def make_maze2d_env(env_name: str, render_mode=None):
     return PointMazeD4RLWrapper(
         gym.make(gid, continuing_task=True, reset_target=False,
                  max_episode_steps=MAZE2D_EVAL_MAX_STEPS[env_name],
-                 render_mode=render_mode)
+                 render_mode=render_mode),
+        goal_cell=MAZE2D_EVAL_GOAL_CELL[env_name],
     )

@@ -76,9 +76,17 @@ class VeteranPipeline:
         target_return: float = 0.9,
         temperature: float = 1.0,
         rebase_policy: bool = False,
+        mcss_selector: str = "ev",  # ev | critic
         rng: int = 0,
     ):
         assert guidance_type in ("MCSS", "cfg", "cg")
+        assert mcss_selector in ("ev", "critic")
+        # MCSS candidate scoring: the reference mujoco/antmaze/kitchen CLIs
+        # rank by the TD-trained EV net summed over the plan
+        # (veteran_d4rl_mujoco.py:441-443), while maze2d ranks by the
+        # DVHorizonCritic value head trained alongside the planner
+        # (veteran_d4rl_maze2d.py:373-375) — no EV stage exists there.
+        self.mcss_selector = mcss_selector
         assert pipeline_type in ("separate", "joint")
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.rebase_policy = rebase_policy
@@ -422,10 +430,11 @@ class VeteranPipeline:
             self._fn_cache[key] = self._make_act_fn(E, num_candidates)
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
+        use_critic = self.guidance_type == "MCSS" and self.mcss_selector == "critic"
         return self._fn_cache[key](
             self.planner.state.ema_params,
             self.planner.classifier.inference_params if self.guidance_type == "cg" else None,
-            self.ev_state.params,
+            self.critic_params if use_critic else self.ev_state.params,
             self.policy.state.ema_params if self.policy is not None else None,
             self.invdyn.params if self.invdyn is not None else None,
             rng,
@@ -463,8 +472,11 @@ class VeteranPipeline:
                     temperature=self.temperature,
                 )
                 if gt == "MCSS":
-                    value = self.ev_net.apply(ev_params, traj[..., :O])[:, 1:].sum(1)
-                    value = value.reshape(E, K)
+                    if self.mcss_selector == "critic":
+                        value = self.critic.apply(ev_params, traj).reshape(E, K)
+                    else:
+                        value = self.ev_net.apply(ev_params, traj[..., :O])[:, 1:].sum(1)
+                        value = value.reshape(E, K)
                 else:
                     value = log["log_p"].reshape(E, K)
                 idx = value.argmax(-1)
@@ -499,3 +511,48 @@ class VeteranPipeline:
             return act, traj
 
         return jax.jit(act_fn)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        """Checkpoint EVERY inference-relevant component in one file —
+        planner + (critic | classifier) + (policy | invdyn) + EV state.
+        The reference saves these as separate .pt files
+        (veteran_d4rl_maze2d.py:278-293); one pickle keeps the CLI's
+        save_fn a single call."""
+        import pickle
+        from pathlib import Path
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        to_np = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+        state = {"planner": to_np(self.planner.state), "ev": to_np(self.ev_state)}
+        if self.critic is not None:
+            state["critic_params"] = to_np(self.critic_params)
+            state["critic_opt"] = to_np(self.critic_opt_state)
+        if self.planner.classifier is not None:
+            state["classifier"] = to_np(self.planner.classifier.state)
+        if self.policy is not None:
+            state["policy"] = to_np(self.policy.state)
+        if self.invdyn is not None:
+            state["invdyn_params"] = to_np(self.invdyn.params)
+            state["invdyn_opt"] = to_np(self.invdyn.opt_state)
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        to_dev = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+        self.planner.state = to_dev(state["planner"])
+        self.ev_state = to_dev(state["ev"])
+        if self.critic is not None and "critic_params" in state:
+            self.critic_params = to_dev(state["critic_params"])
+            self.critic_opt_state = to_dev(state["critic_opt"])
+        if self.planner.classifier is not None and "classifier" in state:
+            self.planner.classifier.state = to_dev(state["classifier"])
+        if self.policy is not None and "policy" in state:
+            self.policy.state = to_dev(state["policy"])
+        if self.invdyn is not None and "invdyn_params" in state:
+            self.invdyn.params = to_dev(state["invdyn_params"])
+            self.invdyn.opt_state = to_dev(state["invdyn_opt"])

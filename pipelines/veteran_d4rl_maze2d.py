@@ -60,6 +60,7 @@ def pipeline(args):
         policy_solver=args.policy_solver,
         policy_sampling_steps=args.policy_sampling_steps,
         rebase_policy=args.get("rebase_policy", False),
+        mcss_selector="critic",  # maze2d ranks by DVHorizonCritic (ref :373-375)
         w_cfg=args.task.planner_w_cfg, target_return=args.task.planner_target_return,
         temperature=args.task.planner_temperature, rng=args.seed,
     )
@@ -78,11 +79,13 @@ def pipeline(args):
 
         train_loop(step, args.planner_diffusion_gradient_steps, args.log_interval,
                    args.save_interval,
-                   lambda tag: pipe.planner.save(str(save_path / f"planner_{tag}")),
+                   lambda tag: pipe.save(str(save_path / f"veteran_{tag}.pkl")),
                    logger, args.seed,
                    window_fn=planner_window_fn(pipe, dataset, args, mesh,
                            steps_key="planner_diffusion_gradient_steps"))
     elif args.mode == "train_expected_value":
+        if (save_path / "veteran_latest.pkl").exists():
+            pipe.load(str(save_path / "veteran_latest.pkl"))
         td = D4RLMaze2DTDDataset(load_d4rl_qlearning_dataset(args.task.env_name))
         if mesh is not None:
             td.place_on_mesh(mesh)
@@ -94,11 +97,16 @@ def pipeline(args):
         train_loop(
             lambda k: pipe.train_expected_value_step(td.sample_batch(k, 256)),
             1_000_000, args.log_interval, args.save_interval,
-            lambda tag: None, logger, args.seed,
+            lambda tag: pipe.save(str(save_path / "veteran_latest.pkl")),
+            logger, args.seed,
             window_fn=ev_window,
         )
     elif args.mode == "inference":
-        pipe.planner.load(str(save_path / "planner_latest"))
+        ckpt = save_path / f"veteran_{args.get('ckpt', 'latest')}.pkl"
+        if ckpt.exists():
+            pipe.load(str(ckpt))
+        else:
+            pipe.planner.load(str(save_path / "planner_latest"))
         d4rl_eval_loop(
             lambda nobs: pipe.act(nobs, num_candidates=args.planner_num_candidates)[0],
             args.task.env_name, dataset.get_normalizer(),

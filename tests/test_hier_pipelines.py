@@ -92,3 +92,31 @@ def test_veteran(guidance):
     act, traj = pipe.act(obs, num_candidates=4)
     assert act.shape == (2, ds.a_dim)
     assert np.all(np.isfinite(np.asarray(act)))
+
+
+def test_veteran_critic_selector_and_checkpoint_roundtrip(tmp_path):
+    """maze2d-style MCSS (DVHorizonCritic candidate ranking,
+    veteran_d4rl_maze2d.py:373-375) + full-pipeline save/load: a loaded
+    pipeline must act identically to the trained one."""
+    raw = fake_d4rl_dataset(n_steps=1500, ep_len=150)
+    ds = DV_D4RLMuJoCoSeqDataset(raw, horizon=8, max_path_length=150)
+    kw = dict(
+        obs_dim=ds.o_dim, act_dim=ds.a_dim, planner_horizon=8,
+        guidance_type="MCSS", planner_net="transformer",
+        planner_emb_dim=32, planner_d_model=64,
+        gradient_steps=100, planner_sampling_steps=3, policy_sampling_steps=2,
+        mcss_selector="critic",
+    )
+    pipe = VeteranPipeline(**kw)
+    rng = jax.random.PRNGKey(0)
+    pipe.train_step(ds.sample_batch(rng, 8), ds.sample_batch(rng, 8))
+    ckpt = str(tmp_path / "veteran.pkl")
+    pipe.save(ckpt)
+
+    pipe2 = VeteranPipeline(**{**kw, "rng": 7})
+    pipe2.load(ckpt)
+    obs = np.random.randn(2, ds.o_dim).astype(np.float32)
+    act1, traj1 = pipe.act(obs, num_candidates=4, rng=jax.random.PRNGKey(5))
+    act2, traj2 = pipe2.act(obs, num_candidates=4, rng=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(act1), np.asarray(act2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(traj1), np.asarray(traj2), atol=1e-5)
