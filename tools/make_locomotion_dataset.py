@@ -1,0 +1,265 @@
+"""Generate d4rl-style locomotion datasets on REAL MuJoCo-v5 physics.
+
+d4rl's locomotion suites were produced by training SAC online and logging
+policies at two capability levels (d4rl paper §4):
+  medium        1M steps sampled from a partially-trained policy
+  medium-replay the replay buffer accumulated up to the medium point
+  medium-expert 1M medium + 1M fully-trained-policy steps concatenated
+
+d4rl is not installable here, so this tool re-creates the recipe with
+cleandiffuser_tpu.utils.sac on gymnasium's -v5 envs and writes the
+standard snapshot schema into `$CLEANDIFFUSER_DATA`
+(<d4rl-name>.npz + .qlearning.npz), which flips the locomotion CLIs from
+synthetic to real data with zero code change
+(pipelines/data_loading.py resolution order). Scores measured against
+these datasets carry the documented v2-vs-v5 dynamics caveat
+(BASELINE.md "Eval-environment fidelity caveats").
+
+Runs on the CPU backend: online RL steps the env on the host every
+action, which the ~30ms-per-dispatch TPU tunnel cannot amortize; all K
+updates of an iteration run in one jitted scan (utils/sac.py).
+
+Usage:
+    python tools/make_locomotion_dataset.py halfcheetah [--seed 0]
+    python tools/make_locomotion_dataset.py --all
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+GYM_IDS = {
+    "halfcheetah": "HalfCheetah-v5",
+    "hopper": "Hopper-v5",
+    "walker2d": "Walker2d-v5",
+}
+# normalized-score capability gates for the policy snapshots; d4rl's
+# medium datasets sit at ~0.40-0.62 normalized and expert at ~0.9-1.1
+# (d4rl infos.py dataset scores)
+MEDIUM_TARGET = {"halfcheetah": 0.40, "hopper": 0.45, "walker2d": 0.60}
+EXPERT_TARGET = {"halfcheetah": 0.85, "hopper": 0.95, "walker2d": 0.95}
+
+
+def _score_fn(env_prefix):
+    from cleandiffuser_tpu.pipelines.data_loading import D4RL_SCORE_RANGES
+
+    lo, hi = D4RL_SCORE_RANGES[env_prefix]
+    return lambda ret: (ret - lo) / (hi - lo)
+
+
+def evaluate_mean(env_id, sac, episodes=5, seed=0):
+    import gymnasium as gym
+
+    env = gym.make(env_id)
+    rets = []
+    for ep in range(episodes):
+        obs, _ = env.reset(seed=seed + ep)
+        done, ret = False, 0.0
+        while not done:
+            act = sac.act(obs[None], deterministic=True)[0]
+            obs, rew, term, trunc, _ = env.step(act)
+            ret += float(rew)
+            done = term or trunc
+        rets.append(ret)
+    env.close()
+    return float(np.mean(rets))
+
+
+def train_sac(env_prefix, seed=0, n_envs=16, max_steps=3_000_000,
+              warmup=10_000, eval_every=20_000, out_dir=Path("dev/d4rl"),
+              log_every=20_000):
+    """Online SAC; returns (medium_actor, expert_actor, medium_replay_data)."""
+    import gymnasium as gym
+
+    from cleandiffuser_tpu.utils.sac import SAC, ReplayRing
+
+    env_id = GYM_IDS[env_prefix]
+    score = _score_fn(env_prefix)
+    envs = gym.vector.SyncVectorEnv(
+        [lambda: gym.make(env_id) for _ in range(n_envs)])
+    obs_dim = envs.single_observation_space.shape[0]
+    act_dim = envs.single_action_space.shape[0]
+    sac = SAC(obs_dim, act_dim, rng=seed)
+    ring = ReplayRing(1_000_000, obs_dim, act_dim)
+    host_rng = np.random.default_rng(seed)
+
+    obs, _ = envs.reset(seed=seed)
+    medium_actor = expert_actor = None
+    medium_replay = None
+    t0, steps = time.time(), 0
+    # gymnasium >=1.0 NEXT_STEP autoreset: a done step returns the true
+    # final obs; the FOLLOWING step is the reset (action ignored, rew 0)
+    # and must not enter the replay
+    prev_done = np.zeros((n_envs,), bool)
+    while steps < max_steps:
+        if steps < warmup:
+            act = host_rng.uniform(-1, 1, (n_envs, act_dim)).astype(np.float32)
+        else:
+            act = sac.act(obs)
+        nobs, rew, term, trunc, info = envs.step(act)
+        valid = ~prev_done
+        if valid.any():
+            # bootstrap mask uses TERM only (timeouts bootstrap through)
+            ring.add_batch(obs[valid].astype(np.float32),
+                           act[valid].astype(np.float32),
+                           rew[valid].astype(np.float32),
+                           nobs[valid].astype(np.float32),
+                           term[valid].astype(np.float32))
+        prev_done = np.logical_or(term, trunc)
+        obs = nobs
+        steps += n_envs
+        if steps >= warmup:
+            stack = ring.gather_stack(host_rng, n_envs, 256)
+            log = sac.update_window(stack)
+        if steps % log_every < n_envs:
+            sps = steps / max(time.time() - t0, 1e-9)
+            print(f"[sac:{env_prefix}] {steps} steps ({sps:.0f}/s) "
+                  f"q={float(log['q_mean']):.1f} alpha={float(log['alpha']):.3f}",
+                  flush=True)
+        if steps % eval_every < n_envs and steps >= warmup:
+            ret = evaluate_mean(env_id, sac, episodes=3, seed=seed + 100)
+            ns = score(ret)
+            print(f"[sac:{env_prefix}] eval @ {steps}: return={ret:.0f} "
+                  f"normalized={ns:.3f}", flush=True)
+            if medium_actor is None and ns >= MEDIUM_TARGET[env_prefix]:
+                medium_actor = sac.snapshot_actor()
+                medium_replay = ring.export()
+                sac.save(str(out_dir / f"{env_prefix}_sac_medium.pkl"))
+                print(f"[sac:{env_prefix}] MEDIUM snapshot @ {steps} "
+                      f"(normalized {ns:.3f}, replay {ring.size})", flush=True)
+            if ns >= EXPERT_TARGET[env_prefix]:
+                expert_actor = sac.snapshot_actor()
+                sac.save(str(out_dir / f"{env_prefix}_sac_expert.pkl"))
+                print(f"[sac:{env_prefix}] EXPERT snapshot @ {steps} "
+                      f"(normalized {ns:.3f})", flush=True)
+                break
+    envs.close()
+    if medium_actor is None:  # never crossed the gate: use final
+        medium_actor = sac.snapshot_actor()
+        medium_replay = ring.export()
+    if expert_actor is None:
+        expert_actor = sac.snapshot_actor()
+        print(f"[sac:{env_prefix}] WARNING: expert gate not reached by "
+              f"{max_steps} steps; using final policy", flush=True)
+    return sac, medium_actor, expert_actor, medium_replay
+
+
+def rollout(env_prefix, sac, actor_params, n_steps, seed=0, n_envs=16):
+    """Log `n_steps` of the (stochastic) policy in the d4rl schema."""
+    import gymnasium as gym
+    import jax.numpy as jnp
+
+    env_id = GYM_IDS[env_prefix]
+    envs = gym.vector.SyncVectorEnv(
+        [lambda: gym.make(env_id) for _ in range(n_envs)])
+    sac.state = sac.state.replace(
+        actor=jax.tree_util.tree_map(jnp.asarray, actor_params))
+    obs, _ = envs.reset(seed=seed + 1000)
+    O, A = (envs.single_observation_space.shape[0],
+            envs.single_action_space.shape[0])
+    # NEXT_STEP autoreset: skip the bogus reset rows (see train_sac).
+    # Collect per-env columns and concatenate env-major so each env's
+    # trajectory stays contiguous — d4rl streams are episode-ordered, and
+    # the sequence datasets split on terminal/timeout flags.
+    per = n_steps // n_envs
+    cols = {k: np.zeros((n_envs, per) + s, np.float32) for k, s in
+            (("observations", (O,)), ("actions", (A,)), ("rewards", ()),
+             ("terminals", ()), ("timeouts", ()))}
+    fill = np.zeros((n_envs,), np.int64)
+    prev_done = np.zeros((n_envs,), bool)
+    while fill.min() < per:
+        act = sac.act(obs)
+        nobs, rew, term, trunc, _ = envs.step(act)
+        valid = np.logical_and(~prev_done, fill < per)
+        for i in np.nonzero(valid)[0]:
+            j = fill[i]
+            cols["observations"][i, j] = obs[i]
+            cols["actions"][i, j] = act[i]
+            cols["rewards"][i, j] = rew[i]
+            cols["terminals"][i, j] = float(term[i])
+            cols["timeouts"][i, j] = float(trunc[i])
+            fill[i] += 1
+        prev_done = np.logical_or(term, trunc)
+        obs = nobs
+    envs.close()
+    data = {k: v.reshape((n_envs * per,) + v.shape[2:]) for k, v in cols.items()}
+    # each env's last row ends its (possibly mid-flight) episode
+    for i in range(n_envs):
+        row = (i + 1) * per - 1
+        if data["terminals"][row] == 0:
+            data["timeouts"][row] = 1.0
+    return data
+
+
+def to_qlearning(data):
+    """Transition view (d4rl qlearning_dataset semantics): TIMEOUT rows are
+    dropped (their successor is a reset and the timeout must not be
+    bootstrapped as a terminal), TERMINAL rows are KEPT — their
+    next_observations slot is the following episode's first obs, which TD
+    targets never read because (1 - terminal) masks the bootstrap."""
+    keep = ~(data["timeouts"][:-1] > 0)
+    return {
+        "observations": data["observations"][:-1][keep],
+        "actions": data["actions"][:-1][keep],
+        "next_observations": data["observations"][1:][keep],
+        "rewards": data["rewards"][:-1][keep],
+        "terminals": data["terminals"][:-1][keep],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("envs", nargs="*", default=[])
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-steps", type=int, default=3_000_000)
+    ap.add_argument("--rollout-steps", type=int, default=1_000_000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    envs = list(GYM_IDS) if args.all else args.envs
+    if not envs:
+        ap.error("pass env prefixes (halfcheetah/hopper/walker2d) or --all")
+    if args.out is None:
+        from cleandiffuser_tpu.pipelines.data_loading import DATA_DIR
+        out_dir = DATA_DIR
+    else:
+        out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    for env_prefix in envs:
+        sac, medium, expert, med_replay = train_sac(
+            env_prefix, seed=args.seed, max_steps=args.max_steps,
+            out_dir=out_dir)
+        print(f"[data:{env_prefix}] rolling out medium x{args.rollout_steps}",
+              flush=True)
+        med_data = rollout(env_prefix, sac, medium, args.rollout_steps,
+                           seed=args.seed)
+        print(f"[data:{env_prefix}] rolling out expert x{args.rollout_steps}",
+              flush=True)
+        exp_data = rollout(env_prefix, sac, expert, args.rollout_steps,
+                           seed=args.seed + 1)
+        me_data = {k: np.concatenate([med_data[k], exp_data[k]])
+                   for k in med_data}
+        for suffix, data in (("medium-v2", med_data),
+                             ("medium-expert-v2", me_data),
+                             ("medium-replay-v2", med_replay)):
+            name = f"{env_prefix}-{suffix}"
+            np.savez_compressed(out_dir / f"{name}.npz", **data)
+            np.savez_compressed(out_dir / f"{name}.qlearning.npz",
+                                **to_qlearning(data))
+            print(f"[data:{env_prefix}] wrote {name}: "
+                  f"{data['rewards'].shape[0]} steps, "
+                  f"mean step reward {data['rewards'].mean():.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
