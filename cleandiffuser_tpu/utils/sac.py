@@ -8,11 +8,19 @@ environment, so this module re-creates that generator: a twin-Q SAC with
 auto-tuned temperature (Haarnoja et al. 2018) over gymnasium's MuJoCo-v5
 locomotion envs.
 
-TPU notes: this is HOST-LOOP RL (per-step env interaction), so it runs on
-the CPU backend — the tunneled chip costs ~30ms per dispatch, which an
-online actor cannot amortize. All K gradient updates of an iteration run
-in ONE `lax.scan` program over pre-gathered batch stacks; the host only
-steps MuJoCo and owns the replay ring.
+TPU notes: this is HOST-LOOP RL (per-step env interaction). Two modes:
+
+* host mode (`ReplayRing` + `update_window`) — everything on the local
+  backend; fine for tests, but on a 1-CPU host the K-update window is
+  ~5ms/update and dominates (measured 139 env steps/s).
+* device mode (`DeviceCollector`) — the replay ring LIVES ON THE CHIP and
+  one jitted dispatch per iteration fuses {write the n_envs new
+  transitions, K gradient updates sampled from the ring, next-action
+  selection}. The host only steps MuJoCo and pays ONE ~30ms tunnel
+  round-trip per n_envs env steps, so throughput scales with n_envs
+  (~2-4k env steps/s at n_envs=128 vs 139/s in host mode). Policy
+  evaluation/rollout uses `NumpyActor` (host numpy forward of the 3-layer
+  actor) so episodes never touch the tunnel.
 """
 
 from __future__ import annotations
@@ -26,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-__all__ = ["SAC", "ReplayRing"]
+__all__ = ["SAC", "ReplayRing", "DeviceCollector", "NumpyActor"]
 
 LOG_STD_MIN, LOG_STD_MAX = -10.0, 2.0
 
@@ -260,3 +268,154 @@ class SAC:
 
     def snapshot_actor(self):
         return jax.tree_util.tree_map(np.asarray, self.state.actor)
+
+
+class NumpyActor:
+    """Host numpy forward of a `_GaussianActor` param snapshot.
+
+    Online eval/rollout steps the env once per action, which the tunneled
+    chip cannot amortize (~30ms/dispatch); the actor is 3 tiny Dense
+    layers, so the host does it in ~10us/batch instead."""
+
+    def __init__(self, actor_params):
+        p = jax.tree_util.tree_map(np.asarray, actor_params)["params"]
+        self.layers = [(p[f"Dense_{i}"]["kernel"], p[f"Dense_{i}"]["bias"])
+                       for i in range(4)]
+
+    def __call__(self, obs, rng: np.random.Generator = None):
+        x = obs
+        for w, b in self.layers[:2]:
+            x = np.maximum(x @ w + b, 0.0)
+        mu = x @ self.layers[2][0] + self.layers[2][1]
+        if rng is None:
+            return np.tanh(mu)
+        log_std = np.clip(x @ self.layers[3][0] + self.layers[3][1],
+                          LOG_STD_MIN, LOG_STD_MAX)
+        return np.tanh(mu + np.exp(log_std) * rng.standard_normal(mu.shape)
+                       .astype(np.float32))
+
+
+class DeviceCollector:
+    """Device-resident online-RL collector (see module docstring).
+
+    One jitted call per iteration: write the n_envs new transitions into
+    the on-device ring (`.at[idx].set`), run K update steps on batches
+    gathered from the ring inside the program, and select actions for the
+    current observations — state and ring are donated, so the only
+    host<->device traffic is ~30KB of fresh transitions in and the
+    (n_envs, act_dim) actions out. The ring stores `term` (bootstrap mask,
+    TERM only — timeouts bootstrap through) separately from `done`
+    (episode boundary, term|trunc) plus the source env id so the export
+    can reconstruct per-env contiguous segments for the d4rl
+    'medium-replay' schema."""
+
+    def __init__(self, sac: SAC, capacity: int, n_envs: int,
+                 batch_size: int = 256, updates_per_iter: int = None):
+        self.sac = sac
+        self.capacity = capacity
+        self.n_envs = n_envs
+        self.batch_size = batch_size
+        self.k = n_envs if updates_per_iter is None else updates_per_iter
+        O, A = sac.obs_dim, sac.act_dim
+        self.ring = jax.jit(lambda: {
+            "obs": jnp.zeros((capacity, O), jnp.float32),
+            "act": jnp.zeros((capacity, A), jnp.float32),
+            "rew": jnp.zeros((capacity,), jnp.float32),
+            "next_obs": jnp.zeros((capacity, O), jnp.float32),
+            "term": jnp.zeros((capacity,), jnp.float32),
+            "done": jnp.zeros((capacity,), jnp.float32),
+            "env": jnp.zeros((capacity,), jnp.int32),
+        })()
+        self.ptr, self.size = 0, 0
+        self._fns = {}
+
+    def _fused(self, n_new: int, do_update: bool):
+        sac, cap, K, B = self.sac, self.capacity, self.k, self.batch_size
+
+        def f(state, ring, key, obs, new, ptr, size):
+            if n_new:
+                # rows arrive at FIXED n_envs width with a validity mask
+                # (episode-reset rows are invalid) — masked rows scatter to
+                # index `cap`, which mode='drop' discards, so the compiled
+                # program never depends on how many rows were valid
+                mask = new["mask"] > 0
+                pos = jnp.cumsum(mask) - 1
+                idx = jnp.where(mask, (ptr + pos) % cap, cap)
+                ring = {k: ring[k].at[idx].set(new[k], mode="drop")
+                        for k in ring}
+                size = jnp.minimum(size + mask.sum(), cap)
+            logs = {"critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(()),
+                    "alpha": jnp.exp(state.log_alpha), "q_mean": jnp.zeros(())}
+            ka, ki, ku = jax.random.split(key, 3)
+            if do_update:
+                u = jax.random.uniform(ki, (K, B))
+                gidx = jnp.minimum((u * size).astype(jnp.int32), size - 1)
+                batch = {k: ring[k][gidx] for k in
+                         ("obs", "act", "rew", "next_obs", "term")}
+
+                def body(st, inp):
+                    kk, b = inp
+                    return sac._update_step(st, b, kk)
+
+                state, logs = jax.lax.scan(
+                    body, state, (jax.random.split(ku, K), batch))
+                logs = jax.tree_util.tree_map(lambda v: v.mean(), logs)
+            mu, log_std = sac.actor_net.apply(state.actor, obs)
+            act = _squash(mu, log_std, ka)[0]
+            return state, ring, act, logs
+
+        return jax.jit(f, donate_argnums=(0, 1))
+
+    def step(self, obs: np.ndarray, new: dict = None, update: bool = True):
+        """new = {obs, act, rew, next_obs, term, done, env, mask} rows at
+        fixed n_envs width (or None on the very first call); returns
+        (actions, device-resident logs)."""
+        n_new = 0 if new is None else new["obs"].shape[0]
+        key = (n_new, update)
+        if key not in self._fns:
+            self._fns[key] = self._fused(n_new, update)
+        self.sac._rng, k = jax.random.split(self.sac._rng)
+        state, self.ring, act, logs = self._fns[key](
+            self.sac.state, self.ring, k, obs, new,
+            jnp.int32(self.ptr), jnp.int32(self.size))
+        self.sac.state = state
+        n_valid = 0 if new is None else int(new["mask"].sum())
+        self.ptr = (self.ptr + n_valid) % self.capacity
+        self.size = min(self.size + n_valid, self.capacity)
+        return np.asarray(act), logs
+
+    def export(self) -> dict:
+        """Fetch the ring once and emit the d4rl 'medium-replay' views:
+        rows are chronological but ENV-INTERLEAVED (n_envs writers), so the
+        sequence view stable-sorts by env id (preserving per-env time
+        order) and marks segment boundaries, while the transition view
+        pairs each row with its STORED next_obs (row i+1 is a different
+        env's step, never the successor)."""
+        host = {k: np.asarray(v) for k, v in self.ring.items()}
+        order = (np.arange(self.size) +
+                 (self.ptr if self.size == self.capacity else 0)) % self.capacity
+        host = {k: v[order] for k, v in host.items()}
+        by_env = np.argsort(host["env"], kind="stable")
+        seq = {k: host[k][by_env] for k in host}
+        timeouts = np.logical_and(seq["done"] > 0, seq["term"] == 0)
+        # end of each env's segment (and the ring's last row) truncates
+        # whatever episode was mid-flight there
+        seg_end = np.ones((self.size,), bool)
+        seg_end[:-1] = seq["env"][:-1] != seq["env"][1:]
+        timeouts = np.logical_or(timeouts,
+                                 np.logical_and(seg_end, seq["term"] == 0))
+        return {
+            "observations": seq["obs"],
+            "actions": seq["act"],
+            "rewards": seq["rew"],
+            "terminals": seq["term"],
+            "timeouts": timeouts.astype(np.float32),
+            # transition view with true successors (qlearning schema)
+            "qlearning": {
+                "observations": host["obs"],
+                "actions": host["act"],
+                "next_observations": host["next_obs"],
+                "rewards": host["rew"],
+                "terminals": host["term"],
+            },
+        }

@@ -91,6 +91,60 @@ def test_qlearning_view_drops_episode_boundaries():
                                data["observations"][1:5])
 
 
+def test_device_collector_masked_ring_and_export():
+    """The fused collector must (a) write only mask=1 rows, compacted, at
+    a compile-once fixed row width; (b) export a per-env time-ordered
+    sequence view with boundary timeouts; (c) export a transition view
+    whose next_observations are the STORED successors (row i+1 in the
+    interleaved ring is a different env's step)."""
+    from cleandiffuser_tpu.utils.sac import DeviceCollector, NumpyActor
+
+    n, O, A = 4, 3, 2
+    sac = SAC(O, A, rng=0)
+    col = DeviceCollector(sac, capacity=32, n_envs=n, batch_size=8,
+                          updates_per_iter=2)
+    rng = np.random.default_rng(0)
+    obs = rng.standard_normal((n, O)).astype(np.float32)
+    new, written = None, []
+    for it in range(6):
+        act, log = col.step(obs, new, update=it >= 2)
+        assert act.shape == (n, A) and np.all(np.abs(act) <= 1.0)
+        nobs = rng.standard_normal((n, O)).astype(np.float32)
+        mask = np.ones((n,), np.float32)
+        mask[it % n] = 0.0  # one autoreset row per iteration
+        new = {"obs": obs, "act": act,
+               "rew": np.full((n,), float(it), np.float32),
+               "next_obs": nobs, "term": np.zeros((n,), np.float32),
+               "done": np.zeros((n,), np.float32),
+               "env": np.arange(n, dtype=np.int32), "mask": mask}
+        for i in range(n):
+            if mask[i]:
+                written.append((i, float(it), obs[i].copy(), nobs[i].copy()))
+        obs = nobs
+    # last `new` not yet flushed into the ring
+    assert col.size == len(written) - (n - 1)
+    ex = col.export()
+    q = ex.pop("qlearning")
+    kept = written[:col.size]
+    # transition view preserves stored successors in chronological order
+    for row, (env_i, rew, o, no) in enumerate(kept):
+        np.testing.assert_allclose(q["observations"][row], o, atol=1e-6)
+        np.testing.assert_allclose(q["next_observations"][row], no, atol=1e-6)
+        assert q["rewards"][row] == rew
+    # sequence view: env-major, time-ordered within env, boundary timeouts
+    envs_of = np.array([w[0] for w in kept])
+    rews_of = np.array([w[1] for w in kept])
+    by_env = np.argsort(envs_of, kind="stable")
+    np.testing.assert_allclose(ex["rewards"], rews_of[by_env])
+    n_segments = len(np.unique(envs_of))
+    assert ex["timeouts"].sum() == n_segments  # one truncation per env tail
+    assert np.isfinite(float(log["critic_loss"]))
+    # NumpyActor matches the jax deterministic policy
+    np.testing.assert_allclose(
+        NumpyActor(sac.snapshot_actor())(obs),
+        sac.act(obs, deterministic=True), atol=1e-5)
+
+
 def test_sac_checkpoint_roundtrip(tmp_path):
     sac = SAC(obs_dim=2, act_dim=1, rng=0)
     obs = np.ones((3, 2), np.float32)

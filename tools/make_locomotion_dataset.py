@@ -15,9 +15,12 @@ synthetic to real data with zero code change
 these datasets carry the documented v2-vs-v5 dynamics caveat
 (BASELINE.md "Eval-environment fidelity caveats").
 
-Runs on the CPU backend: online RL steps the env on the host every
-action, which the ~30ms-per-dispatch TPU tunnel cannot amortize; all K
-updates of an iteration run in one jitted scan (utils/sac.py).
+TPU layout: MuJoCo steps on the host, but the replay ring and all SAC
+updates live ON THE CHIP — one fused dispatch per n_envs env steps
+(utils/sac.py DeviceCollector), so the ~30ms tunnel round-trip is
+amortized over 128 env steps + 128 gradient updates. Evaluation and
+dataset rollouts use the host-numpy actor (NumpyActor) and never touch
+the device. Pass --platform cpu to run fully on the CPU backend.
 
 Usage:
     python tools/make_locomotion_dataset.py halfcheetah [--seed 0]
@@ -32,10 +35,6 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
 
 GYM_IDS = {
     "halfcheetah": "HalfCheetah-v5",
@@ -56,16 +55,19 @@ def _score_fn(env_prefix):
     return lambda ret: (ret - lo) / (hi - lo)
 
 
-def evaluate_mean(env_id, sac, episodes=5, seed=0):
+def evaluate_mean(env_id, actor_params, episodes=5, seed=0):
     import gymnasium as gym
 
+    from cleandiffuser_tpu.utils.sac import NumpyActor
+
+    pi = NumpyActor(actor_params)
     env = gym.make(env_id)
     rets = []
     for ep in range(episodes):
         obs, _ = env.reset(seed=seed + ep)
         done, ret = False, 0.0
         while not done:
-            act = sac.act(obs[None], deterministic=True)[0]
+            act = pi(obs[None].astype(np.float32))[0]
             obs, rew, term, trunc, _ = env.step(act)
             ret += float(rew)
             done = term or trunc
@@ -74,13 +76,14 @@ def evaluate_mean(env_id, sac, episodes=5, seed=0):
     return float(np.mean(rets))
 
 
-def train_sac(env_prefix, seed=0, n_envs=16, max_steps=3_000_000,
-              warmup=10_000, eval_every=20_000, out_dir=Path("dev/d4rl"),
-              log_every=20_000):
-    """Online SAC; returns (medium_actor, expert_actor, medium_replay_data)."""
+def train_sac(env_prefix, seed=0, n_envs=128, max_steps=3_000_000,
+              warmup=10_000, eval_every=25_000, out_dir=Path("dev/d4rl"),
+              log_every=25_000):
+    """Online SAC (device-resident ring+updates); returns
+    (sac, medium_actor, expert_actor, medium_replay_export)."""
     import gymnasium as gym
 
-    from cleandiffuser_tpu.utils.sac import SAC, ReplayRing
+    from cleandiffuser_tpu.utils.sac import SAC, DeviceCollector
 
     env_id = GYM_IDS[env_prefix]
     score = _score_fn(env_prefix)
@@ -89,13 +92,15 @@ def train_sac(env_prefix, seed=0, n_envs=16, max_steps=3_000_000,
     obs_dim = envs.single_observation_space.shape[0]
     act_dim = envs.single_action_space.shape[0]
     sac = SAC(obs_dim, act_dim, rng=seed)
-    ring = ReplayRing(1_000_000, obs_dim, act_dim)
+    col = DeviceCollector(sac, 1_000_000, n_envs)
     host_rng = np.random.default_rng(seed)
+    env_ids = np.arange(n_envs, dtype=np.int32)
 
     obs, _ = envs.reset(seed=seed)
     medium_actor = expert_actor = None
     medium_replay = None
     t0, steps = time.time(), 0
+    new = None
     # gymnasium >=1.0 NEXT_STEP autoreset: a done step returns the true
     # final obs; the FOLLOWING step is the reset (action ignored, rew 0)
     # and must not enter the replay
@@ -103,41 +108,46 @@ def train_sac(env_prefix, seed=0, n_envs=16, max_steps=3_000_000,
     while steps < max_steps:
         if steps < warmup:
             act = host_rng.uniform(-1, 1, (n_envs, act_dim)).astype(np.float32)
+            if new is not None:
+                col.step(obs.astype(np.float32), new, update=False)
         else:
-            act = sac.act(obs)
+            act, log = col.step(obs.astype(np.float32), new, update=True)
         nobs, rew, term, trunc, info = envs.step(act)
-        valid = ~prev_done
-        if valid.any():
-            # bootstrap mask uses TERM only (timeouts bootstrap through)
-            ring.add_batch(obs[valid].astype(np.float32),
-                           act[valid].astype(np.float32),
-                           rew[valid].astype(np.float32),
-                           nobs[valid].astype(np.float32),
-                           term[valid].astype(np.float32))
-        prev_done = np.logical_or(term, trunc)
+        valid = ~prev_done  # post-done autoreset rows must not enter replay
+        done = np.logical_or(term, trunc)
+        # bootstrap mask uses TERM only (timeouts bootstrap through);
+        # rows stay at fixed n_envs width (mask column) so the fused
+        # device program compiles once
+        new = {"obs": obs.astype(np.float32),
+               "act": act.astype(np.float32),
+               "rew": rew.astype(np.float32),
+               "next_obs": nobs.astype(np.float32),
+               "term": term.astype(np.float32),
+               "done": done.astype(np.float32),
+               "env": env_ids,
+               "mask": valid.astype(np.float32)}
+        prev_done = done
         obs = nobs
         steps += n_envs
-        if steps >= warmup:
-            stack = ring.gather_stack(host_rng, n_envs, 256)
-            log = sac.update_window(stack)
-        if steps % log_every < n_envs:
+        if steps % log_every < n_envs and steps >= warmup:
             sps = steps / max(time.time() - t0, 1e-9)
             print(f"[sac:{env_prefix}] {steps} steps ({sps:.0f}/s) "
                   f"q={float(log['q_mean']):.1f} alpha={float(log['alpha']):.3f}",
                   flush=True)
         if steps % eval_every < n_envs and steps >= warmup:
-            ret = evaluate_mean(env_id, sac, episodes=3, seed=seed + 100)
+            actor_now = sac.snapshot_actor()
+            ret = evaluate_mean(env_id, actor_now, episodes=3, seed=seed + 100)
             ns = score(ret)
             print(f"[sac:{env_prefix}] eval @ {steps}: return={ret:.0f} "
                   f"normalized={ns:.3f}", flush=True)
             if medium_actor is None and ns >= MEDIUM_TARGET[env_prefix]:
-                medium_actor = sac.snapshot_actor()
-                medium_replay = ring.export()
+                medium_actor = actor_now
+                medium_replay = col.export()
                 sac.save(str(out_dir / f"{env_prefix}_sac_medium.pkl"))
                 print(f"[sac:{env_prefix}] MEDIUM snapshot @ {steps} "
-                      f"(normalized {ns:.3f}, replay {ring.size})", flush=True)
+                      f"(normalized {ns:.3f}, replay {col.size})", flush=True)
             if ns >= EXPERT_TARGET[env_prefix]:
-                expert_actor = sac.snapshot_actor()
+                expert_actor = actor_now
                 sac.save(str(out_dir / f"{env_prefix}_sac_expert.pkl"))
                 print(f"[sac:{env_prefix}] EXPERT snapshot @ {steps} "
                       f"(normalized {ns:.3f})", flush=True)
@@ -145,7 +155,7 @@ def train_sac(env_prefix, seed=0, n_envs=16, max_steps=3_000_000,
     envs.close()
     if medium_actor is None:  # never crossed the gate: use final
         medium_actor = sac.snapshot_actor()
-        medium_replay = ring.export()
+        medium_replay = col.export()
     if expert_actor is None:
         expert_actor = sac.snapshot_actor()
         print(f"[sac:{env_prefix}] WARNING: expert gate not reached by "
@@ -153,16 +163,18 @@ def train_sac(env_prefix, seed=0, n_envs=16, max_steps=3_000_000,
     return sac, medium_actor, expert_actor, medium_replay
 
 
-def rollout(env_prefix, sac, actor_params, n_steps, seed=0, n_envs=16):
-    """Log `n_steps` of the (stochastic) policy in the d4rl schema."""
+def rollout(env_prefix, actor_params, n_steps, seed=0, n_envs=16):
+    """Log `n_steps` of the (stochastic) policy in the d4rl schema.
+    Pure host loop: numpy actor + SyncVectorEnv."""
     import gymnasium as gym
-    import jax.numpy as jnp
 
+    from cleandiffuser_tpu.utils.sac import NumpyActor
+
+    pi = NumpyActor(actor_params)
+    rng = np.random.default_rng(seed + 7)
     env_id = GYM_IDS[env_prefix]
     envs = gym.vector.SyncVectorEnv(
         [lambda: gym.make(env_id) for _ in range(n_envs)])
-    sac.state = sac.state.replace(
-        actor=jax.tree_util.tree_map(jnp.asarray, actor_params))
     obs, _ = envs.reset(seed=seed + 1000)
     O, A = (envs.single_observation_space.shape[0],
             envs.single_action_space.shape[0])
@@ -177,7 +189,7 @@ def rollout(env_prefix, sac, actor_params, n_steps, seed=0, n_envs=16):
     fill = np.zeros((n_envs,), np.int64)
     prev_done = np.zeros((n_envs,), bool)
     while fill.min() < per:
-        act = sac.act(obs)
+        act = pi(obs.astype(np.float32), rng)
         nobs, rew, term, trunc, _ = envs.step(act)
         valid = np.logical_and(~prev_done, fill < per)
         for i in np.nonzero(valid)[0]:
@@ -201,11 +213,13 @@ def rollout(env_prefix, sac, actor_params, n_steps, seed=0, n_envs=16):
 
 
 def to_qlearning(data):
-    """Transition view (d4rl qlearning_dataset semantics): TIMEOUT rows are
-    dropped (their successor is a reset and the timeout must not be
-    bootstrapped as a terminal), TERMINAL rows are KEPT — their
-    next_observations slot is the following episode's first obs, which TD
-    targets never read because (1 - terminal) masks the bootstrap."""
+    """Transition view (d4rl qlearning_dataset semantics) of an
+    EPISODE-CONTIGUOUS stream: TIMEOUT rows are dropped (their successor
+    is a reset and the timeout must not be bootstrapped as a terminal),
+    TERMINAL rows are KEPT — their next_observations slot is the following
+    episode's first obs, which TD targets never read because
+    (1 - terminal) masks the bootstrap. NOT valid for replay-ring exports
+    (env-interleaved rows); those carry their own stored-successor view."""
     keep = ~(data["timeouts"][:-1] > 0)
     return {
         "observations": data["observations"][:-1][keep],
@@ -221,10 +235,18 @@ def main():
     ap.add_argument("envs", nargs="*", default=[])
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-envs", type=int, default=128)
     ap.add_argument("--max-steps", type=int, default=3_000_000)
     ap.add_argument("--rollout-steps", type=int, default=1_000_000)
+    ap.add_argument("--platform", default=None,
+                    help="'cpu' forces the CPU backend (default: chip)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     envs = list(GYM_IDS) if args.all else args.envs
     if not envs:
         ap.error("pass env prefixes (halfcheetah/hopper/walker2d) or --all")
@@ -237,25 +259,26 @@ def main():
 
     for env_prefix in envs:
         sac, medium, expert, med_replay = train_sac(
-            env_prefix, seed=args.seed, max_steps=args.max_steps,
-            out_dir=out_dir)
+            env_prefix, seed=args.seed, n_envs=args.n_envs,
+            max_steps=args.max_steps, out_dir=out_dir)
         print(f"[data:{env_prefix}] rolling out medium x{args.rollout_steps}",
               flush=True)
-        med_data = rollout(env_prefix, sac, medium, args.rollout_steps,
+        med_data = rollout(env_prefix, medium, args.rollout_steps,
                            seed=args.seed)
         print(f"[data:{env_prefix}] rolling out expert x{args.rollout_steps}",
               flush=True)
-        exp_data = rollout(env_prefix, sac, expert, args.rollout_steps,
+        exp_data = rollout(env_prefix, expert, args.rollout_steps,
                            seed=args.seed + 1)
         me_data = {k: np.concatenate([med_data[k], exp_data[k]])
                    for k in med_data}
-        for suffix, data in (("medium-v2", med_data),
-                             ("medium-expert-v2", me_data),
-                             ("medium-replay-v2", med_replay)):
+        replay_q = med_replay.pop("qlearning")
+        for suffix, data, q in (("medium-v2", med_data, None),
+                                ("medium-expert-v2", me_data, None),
+                                ("medium-replay-v2", med_replay, replay_q)):
             name = f"{env_prefix}-{suffix}"
             np.savez_compressed(out_dir / f"{name}.npz", **data)
             np.savez_compressed(out_dir / f"{name}.qlearning.npz",
-                                **to_qlearning(data))
+                                **(q if q is not None else to_qlearning(data)))
             print(f"[data:{env_prefix}] wrote {name}: "
                   f"{data['rewards'].shape[0]} steps, "
                   f"mean step reward {data['rewards'].mean():.3f}", flush=True)
