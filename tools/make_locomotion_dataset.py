@@ -257,31 +257,38 @@ def main():
         out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    def write(name, data, q=None):
+        np.savez_compressed(out_dir / f"{name}.npz", **data)
+        np.savez_compressed(out_dir / f"{name}.qlearning.npz",
+                            **(q if q is not None else to_qlearning(data)))
+        print(f"[data] wrote {name}: {data['rewards'].shape[0]} steps, "
+              f"mean step reward {data['rewards'].mean():.3f}", flush=True)
+
     for env_prefix in envs:
         sac, medium, expert, med_replay = train_sac(
             env_prefix, seed=args.seed, n_envs=args.n_envs,
             max_steps=args.max_steps, out_dir=out_dir)
-        print(f"[data:{env_prefix}] rolling out medium x{args.rollout_steps}",
-              flush=True)
-        med_data = rollout(env_prefix, medium, args.rollout_steps,
-                           seed=args.seed)
+        # replay first — it already lives on the host, and writing it lets
+        # a consumer start before the (minutes-long) rollouts finish
+        write(f"{env_prefix}-medium-replay-v2", med_replay,
+              med_replay.pop("qlearning"))
+        med_path = out_dir / f"{env_prefix}-medium-v2.npz"
+        if med_path.exists():  # a parallel roller already produced it
+            print(f"[data:{env_prefix}] reusing existing {med_path}", flush=True)
+            med_data = dict(np.load(med_path))
+        else:
+            print(f"[data:{env_prefix}] rolling out medium "
+                  f"x{args.rollout_steps}", flush=True)
+            med_data = rollout(env_prefix, medium, args.rollout_steps,
+                               seed=args.seed)
+            write(f"{env_prefix}-medium-v2", med_data)
         print(f"[data:{env_prefix}] rolling out expert x{args.rollout_steps}",
               flush=True)
         exp_data = rollout(env_prefix, expert, args.rollout_steps,
                            seed=args.seed + 1)
         me_data = {k: np.concatenate([med_data[k], exp_data[k]])
                    for k in med_data}
-        replay_q = med_replay.pop("qlearning")
-        for suffix, data, q in (("medium-v2", med_data, None),
-                                ("medium-expert-v2", me_data, None),
-                                ("medium-replay-v2", med_replay, replay_q)):
-            name = f"{env_prefix}-{suffix}"
-            np.savez_compressed(out_dir / f"{name}.npz", **data)
-            np.savez_compressed(out_dir / f"{name}.qlearning.npz",
-                                **(q if q is not None else to_qlearning(data)))
-            print(f"[data:{env_prefix}] wrote {name}: "
-                  f"{data['rewards'].shape[0]} steps, "
-                  f"mean step reward {data['rewards'].mean():.3f}", flush=True)
+        write(f"{env_prefix}-medium-expert-v2", me_data)
 
 
 if __name__ == "__main__":
