@@ -78,7 +78,7 @@ def evaluate_mean(env_id, actor_params, episodes=5, seed=0):
 
 def train_sac(env_prefix, seed=0, n_envs=128, max_steps=3_000_000,
               warmup=10_000, eval_every=25_000, out_dir=Path("dev/d4rl"),
-              log_every=25_000):
+              log_every=25_000, stop_at_medium=False):
     """Online SAC (device-resident ring+updates); returns
     (sac, medium_actor, expert_actor, medium_replay_export)."""
     import gymnasium as gym
@@ -146,6 +146,8 @@ def train_sac(env_prefix, seed=0, n_envs=128, max_steps=3_000_000,
                 sac.save(str(out_dir / f"{env_prefix}_sac_medium.pkl"))
                 print(f"[sac:{env_prefix}] MEDIUM snapshot @ {steps} "
                       f"(normalized {ns:.3f}, replay {col.size})", flush=True)
+                if stop_at_medium:
+                    break
             if ns >= EXPERT_TARGET[env_prefix]:
                 expert_actor = actor_now
                 sac.save(str(out_dir / f"{env_prefix}_sac_expert.pkl"))
@@ -240,6 +242,10 @@ def main():
     ap.add_argument("--rollout-steps", type=int, default=1_000_000)
     ap.add_argument("--platform", default=None,
                     help="'cpu' forces the CPU backend (default: chip)")
+    ap.add_argument("--replay-only", action="store_true",
+                    help="stop after writing <env>-medium-replay-v2 (a "
+                         "fresh SAC run to the medium gate is ~2 min on "
+                         "chip; use --max-steps to bound it)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -267,11 +273,14 @@ def main():
     for env_prefix in envs:
         sac, medium, expert, med_replay = train_sac(
             env_prefix, seed=args.seed, n_envs=args.n_envs,
-            max_steps=args.max_steps, out_dir=out_dir)
+            max_steps=args.max_steps, out_dir=out_dir,
+            stop_at_medium=args.replay_only)
         # replay first — it already lives on the host, and writing it lets
         # a consumer start before the (minutes-long) rollouts finish
         write(f"{env_prefix}-medium-replay-v2", med_replay,
               med_replay.pop("qlearning"))
+        if args.replay_only:
+            continue
         med_path = out_dir / f"{env_prefix}-medium-v2.npz"
         if med_path.exists():  # a parallel roller already produced it
             print(f"[data:{env_prefix}] reusing existing {med_path}", flush=True)
