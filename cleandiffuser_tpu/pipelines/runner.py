@@ -59,7 +59,10 @@ def _mesh_window_ok(args, mesh) -> bool:
     to divide over the dp axis."""
     if mesh is None:
         return True
-    return args.batch_size % mesh.shape.get("dp", 1) == 0
+    shape = getattr(mesh, "shape", None)
+    if shape is None:  # not a jax Mesh: can't validate alignment
+        return False
+    return args.batch_size % shape.get("dp", 1) == 0
 
 
 def rl_window_fn(pipe, dataset, args, mesh):
