@@ -144,20 +144,32 @@ def bench_sampler_family(name, engine, sample_kwargs, prior, floor,
     sample_fn = engine.build_sample_fn(**sample_kwargs)
     kw = {} if cond is None else {"condition_cfg": cond, "w_cfg": 1.0}
 
-    @jax.jit
-    def run_many(params, r):
-        def body(carry, _):
-            r, acc = carry
-            r, k = jax.random.split(r)
-            x, _ = sample_fn(params, None, k, prior, **kw)
-            return (r, acc + x.sum()), None
+    def build(reps):
+        @jax.jit
+        def run_many(params, r):
+            def body(carry, _):
+                r, acc = carry
+                r, k = jax.random.split(r)
+                x, _ = sample_fn(params, None, k, prior, **kw)
+                return (r, acc + x.sum()), None
 
-        (_, acc), _ = jax.lax.scan(body, (r, 0.0), None, length=repeat)
-        return acc
+            (_, acc), _ = jax.lax.scan(body, (r, 0.0), None, length=reps)
+            return acc
 
-    # clamp: tiny fused programs can measure below the tunnel floor
-    t = max(time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
-                    n_warmup=1, n_iters=3) - floor, 1e-7) / repeat
+        return run_many
+
+    # tiny fused programs (e.g. consistency 2-NFE on an MLP) can run far
+    # below the ~30ms tunnel floor at the requested repeat — escalate the
+    # in-program repeat until the signal clears the floor, instead of
+    # clamping to a meaningless 1e-7 (BENCH_r02 reported 178413% MFU here)
+    reps = repeat
+    for _ in range(4):
+        total = time_fn(build(reps), engine.state.ema_params,
+                        jax.random.PRNGKey(0), n_warmup=1, n_iters=3)
+        if total - floor >= max(floor, 1e-3):
+            break
+        reps *= 10
+    t = max(total - floor, 1e-7) / reps
     fl = flops_of(
         lambda p, r: sample_fn(p, None, r, prior, **kw)[0].sum(),
         engine.state.ema_params, jax.random.PRNGKey(0),
@@ -353,6 +365,13 @@ def extended_benches(floor):
         if "xla" in times and "pallas" in times and times["pallas"] > 0:
             out["pallas_dit_block_speedup"] = round(
                 times["xla"] / times["pallas"], 3)
+            # XLA's cost analysis can't see inside the Pallas kernel, so
+            # its flops count underreports — the model flops are identical
+            # on both paths; rescale the XLA MFU by the time ratio
+            if "dd_dit_sample_xla_mfu_pct" in out:
+                out["dd_dit_sample_pallas_mfu_pct"] = round(
+                    out["dd_dit_sample_xla_mfu_pct"]
+                    * times["xla"] / times["pallas"], 2)
     except Exception as e:
         out["pallas_dit_bench_error"] = str(e)[:160]
 
@@ -560,23 +579,17 @@ def main():
         # insensitive to tunnel dispatch latency (which inflates the
         # per-dispatch number above by up to ~5ms/step on a bad day)
         step_fn = pipe._make_train_step()
-        arrays = dict(ds._sampler.arrays)
-        size = ds._sampler.size
         K_WIN, B_TR = 200, 256
+        # the dataset store is ref-backed (dataset/base.py): gather through
+        # its pure gather_fn — jnp.take on the raw Refs is a type error
+        gather = ds.gather_fn(B_TR)
 
         @jax.jit
         def run_window(actor_state, critic_state, r):
             def body(carry, _):
                 a_st, c_st, r, acc = carry
                 r, kb = jax.random.split(r)
-                idx = jax.random.randint(kb, (B_TR,), 0, size)
-                batch = {
-                    "obs": {"state": jnp.take(arrays["obs"], idx, axis=0)},
-                    "next_obs": {"state": jnp.take(arrays["next_obs"], idx, axis=0)},
-                    "act": jnp.take(arrays["act"], idx, axis=0),
-                    "rew": jnp.take(arrays["rew"], idx, axis=0),
-                    "tml": jnp.take(arrays["tml"], idx, axis=0),
-                }
+                batch = gather(kb)
                 a_st, c_st, log = step_fn(a_st, c_st, batch)
                 # accumulate the loss so the whole step stays live (a
                 # counter-only return lets XLA DCE the entire update)

@@ -61,8 +61,16 @@ def _mesh_window_ok(args, mesh) -> bool:
         return True
     shape = getattr(mesh, "shape", None)
     if shape is None:  # not a jax Mesh: can't validate alignment
+        print("[runner] WARNING: mesh has no .shape — falling back to "
+              "per-step dispatch (3-30ms/step through the tunnel vs sub-ms "
+              "fused windows)", flush=True)
         return False
-    return args.batch_size % shape.get("dp", 1) == 0
+    if args.batch_size % shape.get("dp", 1) != 0:
+        print(f"[runner] WARNING: batch_size={args.batch_size} does not "
+              f"divide dp={shape.get('dp', 1)} — falling back to per-step "
+              "dispatch", flush=True)
+        return False
+    return True
 
 
 def rl_window_fn(pipe, dataset, args, mesh):

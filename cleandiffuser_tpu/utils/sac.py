@@ -371,6 +371,12 @@ class DeviceCollector:
         fixed n_envs width (or None on the very first call); returns
         (actions, device-resident logs)."""
         n_new = 0 if new is None else new["obs"].shape[0]
+        n_valid = 0 if new is None else int(new["mask"].sum())
+        if update and self.size == 0 and n_valid == 0:
+            # gidx would index -1 and silently train on the zero row
+            raise ValueError(
+                "DeviceCollector.step(update=True) on an empty ring — warm "
+                "up with update=False (or pass transitions) first")
         key = (n_new, update)
         if key not in self._fns:
             self._fns[key] = self._fused(n_new, update)
@@ -379,7 +385,6 @@ class DeviceCollector:
             self.sac.state, self.ring, k, obs, new,
             jnp.int32(self.ptr), jnp.int32(self.size))
         self.sac.state = state
-        n_valid = 0 if new is None else int(new["mask"].sum())
         self.ptr = (self.ptr + n_valid) % self.capacity
         self.size = min(self.size + n_valid, self.capacity)
         return np.asarray(act), logs

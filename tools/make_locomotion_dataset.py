@@ -101,6 +101,16 @@ def train_sac(env_prefix, seed=0, n_envs=128, max_steps=3_000_000,
     medium_replay = None
     t0, steps = time.time(), 0
     new = None
+
+    def export_replay():
+        # flush the pending transition batch — it is only pushed at the
+        # TOP of the next iteration, so exporting without this silently
+        # drops the final n_envs transitions (ADVICE r2 #2)
+        nonlocal new
+        if new is not None:
+            col.step(obs.astype(np.float32), new, update=False)
+            new = None
+        return col.export()
     # gymnasium >=1.0 NEXT_STEP autoreset: a done step returns the true
     # final obs; the FOLLOWING step is the reset (action ignored, rew 0)
     # and must not enter the replay
@@ -142,7 +152,7 @@ def train_sac(env_prefix, seed=0, n_envs=128, max_steps=3_000_000,
                   f"normalized={ns:.3f}", flush=True)
             if medium_actor is None and ns >= MEDIUM_TARGET[env_prefix]:
                 medium_actor = actor_now
-                medium_replay = col.export()
+                medium_replay = export_replay()
                 sac.save(str(out_dir / f"{env_prefix}_sac_medium.pkl"))
                 print(f"[sac:{env_prefix}] MEDIUM snapshot @ {steps} "
                       f"(normalized {ns:.3f}, replay {col.size})", flush=True)
@@ -157,7 +167,7 @@ def train_sac(env_prefix, seed=0, n_envs=128, max_steps=3_000_000,
     envs.close()
     if medium_actor is None:  # never crossed the gate: use final
         medium_actor = sac.snapshot_actor()
-        medium_replay = col.export()
+        medium_replay = export_replay()
     if expert_actor is None:
         expert_actor = sac.snapshot_actor()
         print(f"[sac:{env_prefix}] WARNING: expert gate not reached by "
@@ -242,6 +252,11 @@ def main():
     ap.add_argument("--rollout-steps", type=int, default=1_000_000)
     ap.add_argument("--platform", default=None,
                     help="'cpu' forces the CPU backend (default: chip)")
+    ap.add_argument("--reuse-medium", action="store_true",
+                    help="reuse a pre-existing <env>-medium-v2.npz instead "
+                         "of rolling a fresh one (off by default: a stale "
+                         "file from another seed/run would silently mix "
+                         "into medium-expert)")
     ap.add_argument("--replay-only", action="store_true",
                     help="stop after writing <env>-medium-replay-v2 (a "
                          "fresh SAC run to the medium gate is ~2 min on "
@@ -282,8 +297,9 @@ def main():
         if args.replay_only:
             continue
         med_path = out_dir / f"{env_prefix}-medium-v2.npz"
-        if med_path.exists():  # a parallel roller already produced it
-            print(f"[data:{env_prefix}] reusing existing {med_path}", flush=True)
+        if args.reuse_medium and med_path.exists():
+            print(f"[data:{env_prefix}] reusing existing {med_path} "
+                  "(--reuse-medium)", flush=True)
             med_data = dict(np.load(med_path))
         else:
             print(f"[data:{env_prefix}] rolling out medium "
