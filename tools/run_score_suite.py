@@ -1,0 +1,205 @@
+"""Sequential train+eval score suite on the chip (resume-safe).
+
+Runs a list of (CLI, overrides) jobs ONE AT A TIME — the tunneled chip and
+the single host CPU both punish concurrency (CLAUDE.md) — with the wedge
+retry recipe of tools/tpu_launch_retry.sh inlined: a launch that produces
+no training-log line within --wedge-timeout is killed and retried (the
+tunnel wedges ~1-in-5 fresh client connections at first blocking op).
+
+Each job is train -> inference; the per-episode normalized scores printed
+by the CLI's inference branch are parsed from the log and appended to
+results/scoreboard_r3.json, keyed by job name, so a crashed suite resumes
+where it stopped (training itself also resumes from ckpt_latest via the
+CLIs' resume=true).
+
+Usage:
+    python tools/run_score_suite.py [--only name1,name2] [--list]
+"""
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+SCOREBOARD = ROOT / "results/scoreboard_r3.json"
+LOGDIR = ROOT / "logs"
+
+# One entry per score row to produce. `steps` uses each CLI's step-count
+# key. Reference recipes: DQL 2M / IDQL 1M+ / EDP 1M gradient steps
+# (configs/*/mujoco/mujoco.yaml); planners 1M (cut to 500k — losses are
+# flat long before; the scan-window trainer makes the cost linear).
+JOBS = [
+    # --- halfcheetah-medium: the reference's headline locomotion row ---
+    dict(name="dql_hc_medium", cli="pipelines/dql_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps_key="gradient_steps",
+         steps=2_000_000),
+    dict(name="idql_hc_medium", cli="pipelines/idql_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps_key="gradient_steps",
+         steps=1_500_000),
+    dict(name="edp_hc_medium", cli="pipelines/edp_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    # --- hopper / walker2d medium ---
+    dict(name="dql_hopper_medium", cli="pipelines/dql_d4rl_mujoco.py",
+         task="hopper-medium-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="dql_walker2d_medium", cli="pipelines/dql_d4rl_mujoco.py",
+         task="walker2d-medium-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="idql_hopper_medium", cli="pipelines/idql_d4rl_mujoco.py",
+         task="hopper-medium-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="idql_walker2d_medium", cli="pipelines/idql_d4rl_mujoco.py",
+         task="walker2d-medium-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    # --- medium-expert: the band where diffusion policies shine ---
+    dict(name="dql_hc_medexp", cli="pipelines/dql_d4rl_mujoco.py",
+         task="halfcheetah-medium-expert-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    # --- planners on hc-medium (sequence datasets) ---
+    dict(name="dd_hc_medium", cli="pipelines/dd_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps_key="diffusion_gradient_steps",
+         steps=500_000, extra_train=["invdyn_gradient_steps=500000"]),
+    dict(name="diffuser_hc_medium", cli="pipelines/diffuser_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps_key="diffusion_gradient_steps",
+         steps=500_000, extra_train=["classifier_gradient_steps=500000"]),
+    # --- veteran on maze2d (the reference's 4th veteran CLI; scripted
+    # waypoint expert data from tools/make_maze2d_expert.py) ---
+    dict(name="veteran_maze2d_umaze", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-umaze-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_train=["policy_diffusion_gradient_steps=300000",
+                      "invdyn_gradient_steps=150000"]),
+]
+
+
+def dataset_path(task: str) -> Path:
+    import os
+
+    return Path(os.environ.get("CLEANDIFFUSER_DATA",
+                               ROOT / "dev/d4rl")) / f"{task}.npz"
+
+
+def launch_with_retry(cmd, log_path: Path, wedge_timeout: float,
+                      pattern=r"'gradient_steps'|'step'|episode ",
+                      max_attempts: int = 5):
+    """Start cmd; if the log shows no progress line within wedge_timeout,
+    kill and relaunch (fresh client connection). Returns the Popen."""
+    rx = re.compile(pattern)
+    for attempt in range(1, max_attempts + 1):
+        log_f = open(log_path, "w")
+        p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT,
+                             cwd=ROOT)
+        t0 = time.time()
+        while time.time() - t0 < wedge_timeout:
+            time.sleep(10)
+            if rx.search(log_path.read_text(errors="ignore")):
+                print(f"[suite] attempt {attempt}: running (pid {p.pid})",
+                      flush=True)
+                return p
+            if p.poll() is not None:
+                break  # died before first log line: relaunch
+        if rx.search(log_path.read_text(errors="ignore")):
+            return p
+        print(f"[suite] attempt {attempt}: wedged/dead, killing {p.pid}",
+              flush=True)
+        p.kill()
+        p.wait()
+        time.sleep(15)
+    raise RuntimeError(f"{cmd}: no progress after {max_attempts} attempts")
+
+
+def parse_scores(log_text: str):
+    """Per-episode normalized means printed by the CLIs' inference mode."""
+    return [float(m) for m in re.findall(r"episode \d+: ([-\d.]+)", log_text)]
+
+
+def run_job(job, args):
+    name = job["name"]
+    dp = dataset_path(job["task"])
+    if not dp.exists():
+        # the CLIs silently fall back to SYNTHETIC data — a score measured
+        # on that would be garbage presented as real; refuse instead
+        print(f"[suite] {name}: dataset {dp} missing — skip (generate with "
+              "tools/make_locomotion_dataset.py / make_maze2d_expert.py)",
+              flush=True)
+        return dict(name=name, error=f"dataset missing: {dp}")
+    train_log = LOGDIR / f"suite_{name}_train.log"
+    infer_log = LOGDIR / f"suite_{name}_infer.log"
+    base = [sys.executable, "-u", job["cli"], f"task={job['task']}"]
+
+    t0 = time.time()
+    train_cmd = base + [
+        "mode=train", f"{job['steps_key']}={job['steps']}", "resume=true",
+    ] + job.get("extra_train", [])
+    p = launch_with_retry(train_cmd, train_log, args.wedge_timeout)
+    rc = p.wait()
+    if rc != 0:
+        print(f"[suite] {name}: TRAIN FAILED rc={rc} — see {train_log}",
+              flush=True)
+        return dict(name=name, error=f"train rc={rc}")
+    t_train = time.time() - t0
+
+    t0 = time.time()
+    infer_cmd = base + ["mode=inference", "ckpt=latest"] + job.get(
+        "extra_infer", [])
+    p = launch_with_retry(infer_cmd, infer_log, args.wedge_timeout,
+                          pattern=r"episode \d+:")
+    rc = p.wait()
+    scores = parse_scores(infer_log.read_text(errors="ignore"))
+    if rc != 0 or not scores:
+        print(f"[suite] {name}: INFER FAILED rc={rc} — see {infer_log}",
+              flush=True)
+        return dict(name=name, error=f"infer rc={rc}")
+    import numpy as np
+
+    return dict(name=name, task=job["task"], steps=job["steps"],
+                score_mean=round(float(np.mean(scores)), 4),
+                score_std=round(float(np.std(scores)), 4),
+                episodes=scores, train_s=round(t_train, 1),
+                infer_s=round(time.time() - t0, 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated job names to run")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--wedge-timeout", type=float, default=900.0)
+    ap.add_argument("--force", action="store_true",
+                    help="re-run jobs already on the scoreboard")
+    args = ap.parse_args()
+
+    if args.list:
+        for j in JOBS:
+            print(j["name"])
+        return
+
+    only = set(args.only.split(",")) if args.only else None
+    SCOREBOARD.parent.mkdir(parents=True, exist_ok=True)
+    board = json.loads(SCOREBOARD.read_text()) if SCOREBOARD.exists() else {}
+
+    for job in JOBS:
+        name = job["name"]
+        if only is not None and name not in only:
+            continue
+        if not args.force and name in board and "error" not in board[name]:
+            print(f"[suite] {name}: already scored "
+                  f"({board[name]['score_mean']}) — skip", flush=True)
+            continue
+        print(f"[suite] === {name} ===", flush=True)
+        board[name] = run_job(job, args)
+        SCOREBOARD.write_text(json.dumps(board, indent=1))
+        print(f"[suite] {name}: {board[name]}", flush=True)
+
+    print("[suite] done:", json.dumps(
+        {k: v.get("score_mean", v.get("error")) for k, v in board.items()}),
+        flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,7 @@ for attempt in 1 2 3 4 5 6; do
   echo $PID > ${LOG}.pid
   for i in $(seq 1 ${RETRY_PROBES:-60}); do
     sleep 10
-    if grep -qE "'step'|'gradient_steps'" $LOG 2>/dev/null; then echo "attempt $attempt: RUNNING pid $PID"; exit 0; fi
+    if grep -qE "${RETRY_PATTERN:-'step'|'gradient_steps'}" $LOG 2>/dev/null; then echo "attempt $attempt: RUNNING pid $PID"; exit 0; fi
     if ! kill -0 $PID 2>/dev/null; then break; fi
   done
   if grep -qE "'step'|'gradient_steps'" $LOG 2>/dev/null; then echo "attempt $attempt: RUNNING pid $PID"; exit 0; fi
