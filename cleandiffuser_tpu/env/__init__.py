@@ -12,6 +12,8 @@ from .block_pushing_jax import (
     BlockPushMultimodalEnvJax,
     BlockPushState,
     generate_blockpush_demos,
+    generate_blockpush_discontinuous_demos,
+    generate_blockpush_reach_demos,
 )
 from .async_vector import make_async_vector_env
 from .d4rl_eval import (

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["BlockPushState", "BlockPushMultimodalEnvJax", "BlockPushEnvJax",
-           "generate_blockpush_demos"]
+           "generate_blockpush_demos", "generate_blockpush_reach_demos",
+           "generate_blockpush_discontinuous_demos"]
 
 # workspace (meters, matching the reference's tabletop scale).
 # numpy, NOT jnp: module-level jnp constants initialize the JAX backend at
@@ -179,17 +180,34 @@ class BlockPushEnvJax(BlockPushMultimodalEnvJax):
 
 
 # ---------------------------------------------------------------------------
-def generate_blockpush_demos(
-    n_episodes: int = 16,
-    max_steps: int = 200,
-    seed: int = 0,
-):
-    """Scripted multimodal oracle (reference oracles/multimodal_push_oracle):
-    push block0 to a random target, then block1 to the other. Returns an
-    in-memory ReplayBuffer with the 16-dim obs / 2-dim action layout."""
+# Scripted oracle library (reference oracles/: reach_oracle.py,
+# oriented_push_oracle.py, multimodal_push_oracle.py,
+# discontinuous_push_oracle.py). All are host-side controllers over the
+# pure-JAX env; demo generation is a rare offline step, so the per-step
+# host fetch is acceptable (run on the CPU backend).
+
+
+def _push_action(s0, block, target, standoff: float = 0.01):
+    """Oriented-push primitive (reference oriented_push_oracle.py): move
+    behind the block along the block->target ray, then push through it."""
+    push_dir = target - block
+    push_dir = push_dir / (np.linalg.norm(push_dir) + 1e-8)
+    behind = block - push_dir * (BLOCK_HALF + EFFECTOR_R + standoff)
+    to_behind = behind - s0.effector
+    if np.linalg.norm(to_behind) > 0.02:
+        action = to_behind
+    else:
+        action = push_dir * STEP_LIMIT
+    return np.clip(action, -STEP_LIMIT, STEP_LIMIT).astype(np.float32)
+
+
+def _rollout_oracle(env, policy_fn, n_episodes, max_steps, seed,
+                    mode_fn=None):
+    """Roll `policy_fn(s0, t, mode) -> action | None` episodes into a
+    ReplayBuffer; `mode_fn(np_rng) -> mode` draws the per-episode latent
+    (the multimodality). None action ends the episode (subgoals done)."""
     from ..dataset.replay_buffer import ReplayBuffer
 
-    env = BlockPushMultimodalEnvJax()
     step_jit = env.step
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
@@ -198,35 +216,15 @@ def generate_blockpush_demos(
     for _ in range(n_episodes):
         rng, k = jax.random.split(rng)
         state, obs = env.reset(k, 1)
-        # random block->target assignment = the multimodality
-        assign = (0, 1) if np_rng.random() < 0.5 else (1, 0)
+        mode = mode_fn(np_rng) if mode_fn is not None else None
         obs_l, act_l = [], []
         for t in range(max_steps):
             s0 = jax.tree_util.tree_map(lambda x: np.asarray(x)[0], state)
-            # current subgoal: first block not yet at its assigned target
-            tgt_idx = None
-            for bi in (0, 1):
-                if np.linalg.norm(
-                    s0.blocks[bi] - s0.targets[assign[bi]]
-                ) > TARGET_R * 0.8:
-                    tgt_idx = bi
-                    break
-            if tgt_idx is None:
+            action = policy_fn(s0, t, mode)
+            if action is None:
                 break
-            block = s0.blocks[tgt_idx]
-            target = s0.targets[assign[tgt_idx]]
-            push_dir = target - block
-            push_dir = push_dir / (np.linalg.norm(push_dir) + 1e-8)
-            behind = block - push_dir * (BLOCK_HALF + EFFECTOR_R + 0.01)
-            to_behind = behind - s0.effector
-            if np.linalg.norm(to_behind) > 0.02:
-                action = to_behind
-            else:
-                action = push_dir * STEP_LIMIT
-            action = np.clip(action, -STEP_LIMIT, STEP_LIMIT)
-
             obs_l.append(np.asarray(obs)[0])
-            act_l.append(action.astype(np.float32))
+            act_l.append(action)
             state, obs, rew, done = step_jit(state, jnp.asarray(action)[None])
             if bool(done[0]):
                 obs_l.append(np.asarray(obs)[0])
@@ -237,3 +235,104 @@ def generate_blockpush_demos(
             "action": np.asarray(act_l, np.float32),
         })
     return rb
+
+
+def generate_blockpush_demos(
+    n_episodes: int = 16,
+    max_steps: int = 200,
+    seed: int = 0,
+):
+    """Scripted multimodal oracle (reference oracles/multimodal_push_oracle):
+    4 latent modes per episode — random block->target ASSIGNMENT x random
+    push ORDER (which block is pushed first). Returns an in-memory
+    ReplayBuffer with the 16-dim obs / 2-dim action layout."""
+    env = BlockPushMultimodalEnvJax()
+
+    def mode_fn(np_rng):
+        assign = (0, 1) if np_rng.random() < 0.5 else (1, 0)
+        order = (0, 1) if np_rng.random() < 0.5 else (1, 0)
+        return (assign, order)
+
+    def policy(s0, t, mode):
+        assign, order = mode
+        for bi in order:  # first not-yet-done block in this mode's order
+            if np.linalg.norm(
+                s0.blocks[bi] - s0.targets[assign[bi]]
+            ) > TARGET_R * 0.8:
+                return _push_action(s0, s0.blocks[bi], s0.targets[assign[bi]])
+        return None
+
+    return _rollout_oracle(env, policy, n_episodes, max_steps, seed, mode_fn)
+
+
+def generate_blockpush_reach_demos(
+    n_episodes: int = 16,
+    max_steps: int = 120,
+    seed: int = 0,
+):
+    """Reach oracle (reference oracles/reach_oracle.py): drive the effector
+    to a randomly chosen target zone without touching the blocks — routes
+    via a waypoint outside the block rows (|y| = 0.28 > block y-band
+    +-0.15 + contact radii) before closing on the target."""
+    env = BlockPushMultimodalEnvJax()
+
+    def mode_fn(np_rng):
+        return int(np_rng.integers(2))
+
+    def policy(s0, t, mode):
+        target = s0.targets[mode]
+        lane_y = np.sign(target[1]) * 0.28
+        if abs(s0.effector[1] - lane_y) > 0.02 and s0.effector[0] < target[0] - 0.02:
+            goal = np.array([s0.effector[0], lane_y], np.float32)
+        elif s0.effector[0] < target[0] - 0.02:
+            goal = np.array([target[0], lane_y], np.float32)
+        else:
+            goal = target
+        to_goal = goal - s0.effector
+        if np.linalg.norm(target - s0.effector) < 0.01:
+            return None
+        return np.clip(to_goal, -STEP_LIMIT, STEP_LIMIT).astype(np.float32)
+
+    return _rollout_oracle(env, policy, n_episodes, max_steps, seed, mode_fn)
+
+
+def generate_blockpush_discontinuous_demos(
+    n_episodes: int = 16,
+    max_steps: int = 260,
+    seed: int = 0,
+):
+    """Discontinuous-push oracle (reference
+    oracles/discontinuous_push_oracle.py + block_pushing_discontinuous.py):
+    push the first block only HALFWAY to its target, switch to the second
+    block and finish it, then return to complete the first — the
+    discontinuity (retreat + re-approach mid-task) is the learning signal
+    the reference variant exists for."""
+    env = BlockPushMultimodalEnvJax()
+
+    def mode_fn(np_rng):
+        assign = (0, 1) if np_rng.random() < 0.5 else (1, 0)
+        first = int(np_rng.integers(2))
+        return (assign, first, {"half_done": False, "start": None})
+
+    def policy(s0, t, mode):
+        assign, first, st = mode
+        second = 1 - first
+        tgt_f, tgt_s = s0.targets[assign[first]], s0.targets[assign[second]]
+        if st["start"] is None:
+            st["start"] = s0.blocks[first].copy()
+        half_point = 0.5 * (st["start"] + tgt_f)
+        if not st["half_done"]:
+            # push AT the half point (not the final target): aiming at the
+            # target while stopping on half-point proximity lets a lateral
+            # miss sail past the stop radius and shove the block into the
+            # workspace wall
+            if np.linalg.norm(s0.blocks[first] - half_point) > TARGET_R * 0.6:
+                return _push_action(s0, s0.blocks[first], half_point)
+            st["half_done"] = True
+        if np.linalg.norm(s0.blocks[second] - tgt_s) > TARGET_R * 0.8:
+            return _push_action(s0, s0.blocks[second], tgt_s)
+        if np.linalg.norm(s0.blocks[first] - tgt_f) > TARGET_R * 0.8:
+            return _push_action(s0, s0.blocks[first], tgt_f)
+        return None
+
+    return _rollout_oracle(env, policy, n_episodes, max_steps, seed, mode_fn)
