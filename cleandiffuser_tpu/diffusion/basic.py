@@ -56,6 +56,11 @@ class DiffusionModel:
     # `bf16_sampling=true` config key (applied at the setup_mesh chokepoint,
     # parallel/integrate.py) reaches every engine; instances may override.
     bf16_sampling = False
+    # Mixed-precision TRAINING: net forward/backward in bf16 (the cast is
+    # differentiable — grads come back f32 through the cast-back), while
+    # loss, optimizer state, master weights, and the EMA stay f32.
+    # `bf16_training=true` config key, same chokepoint.
+    bf16_training = False
 
     def __init__(
         self,
@@ -158,10 +163,11 @@ class DiffusionModel:
 
     def apply_diffusion(self, params, x, t, emb, train=False, rng=None):
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        if not train and self.bf16_sampling:
-            # bf16 net forward at sampling time, every engine: inputs/params
-            # cast here (no-ops when the sampler pre-cast them), prediction
-            # cast back so solver math stays f32
+        if (self.bf16_sampling if not train else self.bf16_training):
+            # bf16 net forward, every engine: inputs/params cast here
+            # (no-ops when the caller pre-cast them), prediction cast back
+            # so solver/loss math stays f32. Under train the casts are
+            # differentiated through, so grads arrive f32 at the optimizer.
             out = self.nn_diffusion.apply(
                 bf16_cast(params["diffusion"]), x.astype(jnp.bfloat16), t,
                 bf16_cast(emb) if emb is not None else None,

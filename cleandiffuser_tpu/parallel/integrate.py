@@ -60,6 +60,14 @@ def setup_mesh(args=None, n_devices: Optional[int] = None,
             from ..diffusion.basic import DiffusionModel
 
             DiffusionModel.bf16_sampling = True
+        if bool(args.get("bf16_training", False)):
+            # mixed-precision training: bf16 net forward/backward (halves
+            # HBM traffic for activations — f32 matmuls already take the
+            # bf16 MXU path under JAX's DEFAULT precision), f32 master
+            # weights / loss / optimizer / EMA
+            from ..diffusion.basic import DiffusionModel
+
+            DiffusionModel.bf16_training = True
     n_devices = n_devices or 1
     if n_devices <= 1 and platform is None:
         return None

@@ -84,3 +84,43 @@ def test_config_key_reaches_engines_via_setup_mesh():
         assert np.isfinite(x).all()
     finally:
         DiffusionModel.bf16_sampling = False
+
+
+@pytest.mark.parametrize("cls", [DiscreteDiffusionSDE, ContinuousEDM,
+                                 ContinuousRectifiedFlow])
+def test_bf16_training_loss_tracks_f32(cls):
+    """bf16_training: net fwd/bwd in bf16, loss/opt/EMA f32 — the update
+    runs, grads stay f32, and the loss is within bf16 tolerance of f32."""
+    kw = {"diffusion_steps": 5} if cls is DiscreteDiffusionSDE else {}
+    eng, prior, cond = _engine(cls, **kw)
+    x0 = jnp.asarray(np.random.RandomState(1).randn(B, ACT), jnp.float32)
+    sub = jax.random.PRNGKey(7)
+
+    loss32 = float(eng.loss_fn(eng.state.params, sub, x0, cond))
+    try:
+        DiffusionModel.bf16_training = True
+        loss16 = float(eng.loss_fn(eng.state.params, sub, x0, cond))
+        # same seed, same noise draw; only the net forward precision differs
+        assert np.isfinite(loss16)
+        assert abs(loss16 - loss32) / max(abs(loss32), 1e-3) < 0.05, (
+            loss16, loss32)
+        log = eng.update(x0, cond)
+        assert np.isfinite(float(log["loss"]))
+        # master weights stayed f32
+        leaf = jax.tree_util.tree_leaves(eng.state.params)[0]
+        assert leaf.dtype == jnp.float32
+    finally:
+        DiffusionModel.bf16_training = False
+
+
+def test_bf16_training_config_key_via_setup_mesh():
+    from cleandiffuser_tpu.parallel import setup_mesh
+
+    assert DiffusionModel.bf16_training is False
+    try:
+        mesh = setup_mesh({"n_devices": 1, "bf16_training": True})
+        assert mesh is None
+        eng, prior, cond = _engine(DiscreteDiffusionSDE, diffusion_steps=5)
+        assert eng.bf16_training is True
+    finally:
+        DiffusionModel.bf16_training = False
