@@ -99,6 +99,7 @@ def train_sac(env_prefix, seed=0, n_envs=128, max_steps=3_000_000,
     obs, _ = envs.reset(seed=seed)
     medium_actor = expert_actor = None
     medium_replay = None
+    snapshots = []  # (normalized_score, actor) at every eval
     t0, steps = time.time(), 0
     new = None
 
@@ -150,8 +151,17 @@ def train_sac(env_prefix, seed=0, n_envs=128, max_steps=3_000_000,
             ns = score(ret)
             print(f"[sac:{env_prefix}] eval @ {steps}: return={ret:.0f} "
                   f"normalized={ns:.3f}", flush=True)
+            snapshots.append((ns, actor_now))
             if medium_actor is None and ns >= MEDIUM_TARGET[env_prefix]:
-                medium_actor = actor_now
+                # SAC can leap far past the gate between evals (hopper goes
+                # 0.42 -> 0.94 in one 25k window) — an overshot "medium" is
+                # near-expert data and poisons the medium/expert contrast.
+                # Use the snapshot CLOSEST to the gate among those seen.
+                ns_med, medium_actor = min(
+                    snapshots, key=lambda p: abs(p[0] - MEDIUM_TARGET[env_prefix]))
+                print(f"[sac:{env_prefix}] medium pick: normalized "
+                      f"{ns_med:.3f} (gate {MEDIUM_TARGET[env_prefix]})",
+                      flush=True)
                 medium_replay = export_replay()
                 sac.save(str(out_dir / f"{env_prefix}_sac_medium.pkl"))
                 print(f"[sac:{env_prefix}] MEDIUM snapshot @ {steps} "
@@ -249,6 +259,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-envs", type=int, default=128)
     ap.add_argument("--max-steps", type=int, default=3_000_000)
+    ap.add_argument("--eval-every", type=int, default=25_000,
+                    help="gate-eval cadence in env steps; tighten (e.g. "
+                         "10000) for fast-learning envs like hopper so the "
+                         "medium gate isn't overshot")
     ap.add_argument("--rollout-steps", type=int, default=1_000_000)
     ap.add_argument("--platform", default=None,
                     help="'cpu' forces the CPU backend (default: chip)")
@@ -289,6 +303,7 @@ def main():
         sac, medium, expert, med_replay = train_sac(
             env_prefix, seed=args.seed, n_envs=args.n_envs,
             max_steps=args.max_steps, out_dir=out_dir,
+            eval_every=args.eval_every,
             stop_at_medium=args.replay_only)
         # replay first — it already lives on the host, and writing it lets
         # a consumer start before the (minutes-long) rollouts finish
