@@ -326,6 +326,147 @@ class BaseDiffusionSDE(DiffusionModel):
         return fn
 
     # ------------------------------------------------------------------
+    # Parallel-in-time sampling (TPU-native extension, no reference
+    # counterpart): Picard iteration over the whole DDIM grid
+    # (ParaDiGMS, arXiv:2305.16317 — PAPERS.md). Instead of N sequential
+    # network calls, keep estimates x_i at ALL N grid points, evaluate the
+    # network at every point in ONE (N*B)-batched forward (the MXU is far
+    # from saturated at control batch sizes), propagate the now-linear
+    # DDIM recurrence x_{i-1} = c1_i x_i + c2_i eps_i in closed form, and
+    # repeat K times. Converges EXACTLY to sequential DDIM in K = N
+    # iterations (the system is triangular); K ~ N/3 is tight in practice.
+    # Sequential depth drops N -> K: a latency win whenever the chip has
+    # spare throughput at batch B (real-time planning, B = num_envs).
+    # ------------------------------------------------------------------
+    def build_parallel_sample_fn(
+        self,
+        sample_steps: int = 20,
+        picard_iters: int = 8,
+        sample_step_schedule: str = "uniform",
+        cfg_mode: str = "uncond",
+    ):
+        """Pure parallel-in-time DDIM sampler.
+
+        fn(params, rng, prior, condition_cfg=None, mask_cfg=None,
+           w_cfg=0.0, temperature=1.0) -> (x0, {"picard_residual": r})
+        """
+        with host_constants():
+            ts, alphas, sigmas = self._sample_tables(
+                sample_step_schedule, sample_steps, None)
+            # DDIM map at grid step i (i = sample_steps..1):
+            #   x_{i-1} = (a_{i-1}/a_i) x_i + (s_{i-1} - (a_{i-1}/a_i) s_i) eps_i
+            idx = jnp.arange(sample_steps, 0, -1, dtype=jnp.int32)  # N..1
+            c1 = alphas[idx - 1] / alphas[idx]
+            c2 = sigmas[idx - 1] - c1 * sigmas[idx]
+            t_rows = ts[idx]
+            a_rows, s_rows = alphas[idx], sigmas[idx]
+
+        N = sample_steps
+
+        def fn(params, rng, prior, condition_cfg=None, mask_cfg=None,
+               w_cfg: float = 0.0, temperature: float = 1.0):
+            if getattr(self, "bf16_sampling", False):
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                    params,
+                )
+            B = prior.shape[0]
+            feat_shape = prior.shape[1:]
+            bc = (N * B,) + (1,) * len(feat_shape)
+            # same split as build_sample_fn so the DDIM comparison is
+            # noise-for-noise exact
+            k_init, _ = jax.random.split(rng)
+            xT = jax.random.normal(k_init, prior.shape) * temperature
+            xT = xT * (1.0 - self.fix_mask) + prior * self.fix_mask
+
+            emb = self.apply_condition(params, condition_cfg, mask=mask_cfg,
+                                       train=False)
+            # tile the condition embedding over the N grid rows
+            emb_rows = (
+                jax.tree_util.tree_map(
+                    lambda e: jnp.tile(e, (N,) + (1,) * (e.ndim - 1)), emb)
+                if emb is not None else None
+            )
+            t_all = jnp.repeat(t_rows, B)          # (N*B,)
+            a_all = jnp.repeat(a_rows, B).reshape(bc)
+            s_all = jnp.repeat(s_rows, B).reshape(bc)
+            c1_col = c1[:, None]
+            c2_col = c2[:, None]
+
+            prior_flat = prior.reshape(B, -1)
+            fixm = (self.fix_mask * jnp.ones(prior.shape)).reshape(B, -1)
+
+            def sweep(X, _):
+                # X: (N+1, B, F) flat estimates, X[0] = x at grid N (noise)
+                xs = X[:-1].reshape((N * B,) + feat_shape)
+                pred = self._guided_pred(
+                    params, None, xs, t_all, emb_rows, None,
+                    w_cfg, 0.0, a_all, s_all, cfg_mode, False,
+                )
+                pred = self.clip_prediction(pred, xs, a_all, s_all)
+                eps = (pred if self.predict_noise
+                       else xtheta_to_epstheta(xs, a_all, s_all, pred))
+                eps = eps.reshape(N, B, -1)
+
+                def prop(x_i, inp):
+                    c1_i, c2_i, eps_i = inp
+                    x_next = c1_i * x_i + c2_i * eps_i
+                    x_next = x_next * (1.0 - fixm) + prior_flat * fixm
+                    return x_next, x_next
+
+                _, X_new = jax.lax.scan(prop, X[0], (c1_col, c2_col, eps))
+                X_new = jnp.concatenate([X[:1], X_new], axis=0)
+                resid = jnp.abs(X_new - X).max()
+                return X_new, resid
+
+            X0 = jnp.broadcast_to(xT.reshape(1, B, -1),
+                                  (N + 1, B, int(np.prod(feat_shape)) or 1))
+            X, resids = jax.lax.scan(sweep, X0, None, length=picard_iters)
+            x0 = X[-1].reshape(prior.shape)
+            if self.clip_pred:
+                lo = self.x_min if self.x_min is not None else -jnp.inf
+                hi = self.x_max if self.x_max is not None else jnp.inf
+                x0 = jnp.clip(x0, lo, hi)
+            return x0, {"picard_residual": resids[-1]}
+
+        return fn
+
+    def sample_parallel(
+        self,
+        prior,
+        sample_steps: int = 20,
+        picard_iters: int = 8,
+        sample_step_schedule: str = "uniform",
+        use_ema: bool = True,
+        temperature: float = 1.0,
+        condition_cfg=None,
+        mask_cfg=None,
+        w_cfg: float = 0.0,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Parallel-in-time DDIM sampling (see build_parallel_sample_fn)."""
+        prior = jnp.asarray(prior)
+        self._ensure_init(prior, condition_cfg)
+        if w_cfg != 0.0 and w_cfg != 1.0 and condition_cfg is not None:
+            cfg_mode = "mix"
+        elif w_cfg == 0.0 or condition_cfg is None:
+            cfg_mode = "uncond"
+        else:
+            cfg_mode = "cond"
+        key = ("sample_parallel", sample_steps, picard_iters,
+               sample_step_schedule, cfg_mode, use_ema)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(self.build_parallel_sample_fn(
+                sample_steps=sample_steps, picard_iters=picard_iters,
+                sample_step_schedule=sample_step_schedule, cfg_mode=cfg_mode,
+            ))
+        params = self.state.ema_params if use_ema else self.state.params
+        rng = rng if rng is not None else self.next_sample_rng()
+        return self._fn_cache[key](params, rng, prior, condition_cfg,
+                                   mask_cfg, float(w_cfg), float(temperature))
+
+    # ------------------------------------------------------------------
     # User-facing sampling (parity with reference diffusionsde.py:401-606)
     # ------------------------------------------------------------------
     def sample(
