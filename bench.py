@@ -277,6 +277,25 @@ def extended_benches(floor):
         if m is not None:
             out["dp_chiunet_train_mfu_pct"] = m
 
+        # bf16_training variant (fresh pipe: the flag keys no cache)
+        try:
+            from cleandiffuser_tpu.diffusion.basic import DiffusionModel
+
+            DiffusionModel.bf16_training = True
+            pipe16 = DPPipeline(obs_dim=5, action_dim=2, horizon=16,
+                                obs_steps=2, action_steps=8, nn="chi_unet",
+                                diffusion="ddpm", sample_steps=5,
+                                gradient_steps=10_000, rng=0)
+            win16 = pipe16.make_train_scan(ds, 256, N)
+            win16(jax.random.PRNGKey(0))
+            t0 = time.perf_counter()
+            _ = float(win16(jax.random.PRNGKey(1))["loss"])
+            t16 = (time.perf_counter() - t0 - floor) / N
+            out["dp_chiunet_train_bf16_steps_per_sec"] = round(1.0 / t16, 1)
+            out["dp_chiunet_train_bf16_speedup"] = round(t / t16, 3)
+        finally:
+            DiffusionModel.bf16_training = False
+
         # --- fully on-device receding-horizon eval (policy + env steps) ---
         from cleandiffuser_tpu.env.pusht_jax import PushTEnvJax
 
