@@ -1,0 +1,350 @@
+"""Generate d4rl-style antmaze datasets on REAL MuJoCo Ant physics.
+
+d4rl's antmaze suites were produced by a goal-reaching ant policy driven
+through mazes by a waypoint planner (d4rl locomotion/maze_env.py +
+wrappers; the policy reaches the NEXT WAYPOINT, the planner plans
+cell-BFS paths to the episode goal). d4rl is not installable here, so
+this tool re-creates that recipe on gymnasium_robotics AntMaze-v5:
+
+1. Train SAC (cleandiffuser_tpu.utils.sac — replay ring + updates on the
+   chip, one fused dispatch per n_envs env steps) on waypoint-reaching:
+   policy input = [ant obs (27) | waypoint xy relative to torso (2)],
+   dense progress reward toward the waypoint; waypoints come from the
+   same BFS planner used at logging time, so train == deploy.
+2. Gate on full-maze navigation success (deterministic policy, BFS
+   waypoints, fresh episodes), then log `--rollout-steps` of the
+   STOCHASTIC policy navigating the maze exactly as d4rl did: sparse
+   reward (success indicator), goals resampled by the env's continuing
+   task, timeouts every `--episode-len` steps.
+
+Output: the standard snapshot schema (`<name>.npz` + `.qlearning.npz`)
+in `$CLEANDIFFUSER_DATA`, 29-dim d4rl antmaze obs layout
+[xy | qpos[2:] | qvel] (env/d4rl_eval.py AntMazeD4RLWrapper), which flips
+the antmaze CLIs from synthetic to real data with zero code change.
+
+Usage:
+    python tools/make_antmaze_dataset.py antmaze-umaze-v2 [--seed 0]
+"""
+
+import argparse
+import sys
+import time
+from collections import deque
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from cleandiffuser_tpu.env.d4rl_eval import ANTMAZE_GYM_IDS
+
+OBS27 = 27       # qpos[2:] (13) + qvel (14); v5 appends contact forces
+WAYPOINT_RADIUS = 1.0   # advance to next waypoint within this distance
+GOAL_RADIUS = 0.45      # d4rl success threshold
+POLICY_OBS = OBS27 + 2  # + relative waypoint xy
+
+
+# ---------------------------------------------------------------------------
+# Waypoint planner: BFS over the maze grid
+# ---------------------------------------------------------------------------
+class WaypointPlanner:
+    def __init__(self, maze):
+        self.maze = maze
+        self.grid = np.asarray(
+            [[1 if c == 1 else 0 for c in row] for row in maze.maze_map])
+
+    def xy_to_cell(self, xy):
+        # invert cell_rowcol_to_xy: x = (col - ncols/2 + .5)*s, y = (nrows/2 - row - .5)*s
+        s = self.maze.maze_size_scaling
+        col = int(round(xy[0] / s + self.grid.shape[1] / 2 - 0.5))
+        row = int(round(self.grid.shape[0] / 2 - 0.5 - xy[1] / s))
+        return (int(np.clip(row, 0, self.grid.shape[0] - 1)),
+                int(np.clip(col, 0, self.grid.shape[1] - 1)))
+
+    def cell_to_xy(self, cell):
+        return np.asarray(self.maze.cell_rowcol_to_xy(cell), np.float32)
+
+    def path(self, start_xy, goal_xy):
+        """BFS cell path -> list of waypoint xy (ending at goal_xy)."""
+        start, goal = self.xy_to_cell(start_xy), self.xy_to_cell(goal_xy)
+        if start == goal:
+            return [np.asarray(goal_xy, np.float32)]
+        prev, seen = {}, {start}
+        q = deque([start])
+        while q:
+            cur = q.popleft()
+            if cur == goal:
+                break
+            r, c = cur
+            for nxt in ((r + 1, c), (r - 1, c), (r, c + 1), (r, c - 1)):
+                if (0 <= nxt[0] < self.grid.shape[0]
+                        and 0 <= nxt[1] < self.grid.shape[1]
+                        and self.grid[nxt] == 0 and nxt not in seen):
+                    seen.add(nxt)
+                    prev[nxt] = cur
+                    q.append(nxt)
+        if goal not in prev and goal != start:
+            return [np.asarray(goal_xy, np.float32)]  # unreachable: beeline
+        cells = [goal]
+        while cells[-1] != start:
+            cells.append(prev[cells[-1]])
+        cells.reverse()
+        pts = [self.cell_to_xy(c) for c in cells[1:]]
+        pts[-1:] = [np.asarray(goal_xy, np.float32)]
+        return pts
+
+
+class Navigator:
+    """Per-env waypoint state: replan when the env's goal changes."""
+
+    def __init__(self, planner):
+        self.planner = planner
+        self.goal = None
+        self.wps = []
+
+    def waypoint(self, xy, goal):
+        if self.goal is None or np.linalg.norm(goal - self.goal) > 1e-6:
+            self.goal = goal.copy()
+            self.wps = self.planner.path(xy, goal)
+        while len(self.wps) > 1 and (
+                np.linalg.norm(xy - self.wps[0]) < WAYPOINT_RADIUS):
+            self.wps.pop(0)
+        return self.wps[0]
+
+
+# ---------------------------------------------------------------------------
+def make_envs(gym_id, n_envs, seed):
+    import gymnasium as gym
+    import gymnasium_robotics  # noqa: F401 (registers AntMaze_*-v5)
+
+    def mk():
+        return gym.make(gym_id, continuing_task=True)
+
+    envs = gym.vector.SyncVectorEnv([mk for _ in range(n_envs)])
+    obs, _ = envs.reset(seed=seed)
+    return envs, obs
+
+
+def policy_obs(obs_dict):
+    """[obs27 | waypoint - xy] rows from the dict batch + navigators."""
+    return obs_dict["observation"][:, :OBS27].astype(np.float32)
+
+
+def navigate_eval(gym_id, planner, actor_params, episodes=8, seed=0,
+                  max_steps=700):
+    """Deterministic-policy full-maze navigation success rate."""
+    import gymnasium as gym
+    import gymnasium_robotics  # noqa: F401
+
+    from cleandiffuser_tpu.utils.sac import NumpyActor
+
+    pi = NumpyActor(actor_params)
+    env = gym.make(gym_id, continuing_task=False)
+    succ = 0
+    for ep in range(episodes):
+        o, _ = env.reset(seed=seed + ep)
+        nav = Navigator(planner)
+        for t in range(max_steps):
+            xy = o["achieved_goal"].astype(np.float32)
+            wp = nav.waypoint(xy, o["desired_goal"].astype(np.float32))
+            pin = np.concatenate([o["observation"][:OBS27], wp - xy])
+            a = pi(pin[None].astype(np.float32))[0]
+            o, r, te, tr, info = env.step(a)
+            if info.get("success", False) or r > 0:
+                succ += 1
+                break
+            if te or tr:
+                break
+    env.close()
+    return succ / episodes
+
+
+def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
+                        max_steps=3_000_000, warmup=20_000,
+                        eval_every=50_000, success_gate=0.75,
+                        out_dir=Path("dev/d4rl"), name="antmaze"):
+    from cleandiffuser_tpu.utils.sac import SAC, DeviceCollector
+
+    envs, obs = make_envs(gym_id, n_envs, seed)
+    sac = SAC(POLICY_OBS, 8, rng=seed)
+    col = DeviceCollector(sac, 1_000_000, n_envs)
+    host_rng = np.random.default_rng(seed)
+    env_ids = np.arange(n_envs, dtype=np.int32)
+    navs = [Navigator(planner) for _ in range(n_envs)]
+
+    def build_pin(obs):
+        xy = obs["achieved_goal"].astype(np.float32)
+        wps = np.stack([navs[i].waypoint(xy[i],
+                                         obs["desired_goal"][i].astype(np.float32))
+                        for i in range(n_envs)])
+        return np.concatenate([policy_obs(obs), wps - xy], -1), xy, wps
+
+    pin, xy, wps = build_pin(obs)
+    prev_done = np.zeros((n_envs,), bool)
+    new, steps, t0 = None, 0, time.time()
+    best = (0.0, None)
+    while steps < max_steps:
+        if steps < warmup:
+            act = host_rng.uniform(-1, 1, (n_envs, 8)).astype(np.float32)
+            if new is not None:
+                col.step(pin, new, update=False)
+        else:
+            act, log = col.step(pin, new, update=True)
+        nobs, rew, term, trunc, info = envs.step(act)
+        npin, nxy, nwps = build_pin(nobs)
+        # dense waypoint-progress reward + survival - a flip costs the
+        # episode (term), which SAC learns to avoid through the bootstrap
+        d_now = np.linalg.norm(nxy - wps, axis=-1)
+        d_prev = np.linalg.norm(xy - wps, axis=-1)
+        shaped = (d_prev - d_now) * 10.0 + 0.5
+        done = np.logical_or(term, trunc)
+        valid = ~prev_done
+        new = {"obs": pin, "act": act.astype(np.float32),
+               "rew": shaped.astype(np.float32), "next_obs": npin,
+               "term": term.astype(np.float32),
+               "done": done.astype(np.float32),
+               "env": env_ids, "mask": valid.astype(np.float32)}
+        prev_done = done
+        pin, xy, wps = npin, nxy, nwps
+        obs = nobs
+        steps += n_envs
+        if steps % eval_every < n_envs and steps >= warmup:
+            sr = navigate_eval(gym_id, planner, sac.snapshot_actor(),
+                               seed=seed + 99)
+            sps = steps / max(time.time() - t0, 1e-9)
+            print(f"[antmaze-sac:{name}] {steps} steps ({sps:.0f}/s) "
+                  f"nav success={sr:.2f}", flush=True)
+            if sr > best[0]:
+                best = (sr, sac.snapshot_actor())
+                sac.save(str(out_dir / f"{name}_sac_best.pkl"))
+            if sr >= success_gate:
+                break
+    envs.close()
+    if best[1] is None:
+        best = (0.0, sac.snapshot_actor())
+    print(f"[antmaze-sac:{name}] done: best nav success {best[0]:.2f}",
+          flush=True)
+    return best[1], best[0]
+
+
+def rollout_dataset(gym_id, planner, actor_params, n_steps, seed=0,
+                    n_envs=16, episode_len=700):
+    """Log the d4rl antmaze stream: 29-dim obs, sparse reward, timeout
+    boundaries every `episode_len` steps (episode-contiguous, env-major)."""
+    import gymnasium as gym
+
+    from cleandiffuser_tpu.utils.sac import NumpyActor
+
+    pi = NumpyActor(actor_params)
+    rng = np.random.default_rng(seed + 7)
+    envs, obs = make_envs(gym_id, n_envs, seed + 1000)
+    navs = [Navigator(planner) for _ in range(n_envs)]
+    per = n_steps // n_envs
+    cols = {k: np.zeros((n_envs, per) + s, np.float32) for k, s in
+            (("observations", (29,)), ("actions", (8,)), ("rewards", ()),
+             ("terminals", ()), ("timeouts", ()))}
+    fill = np.zeros((n_envs,), np.int64)
+    age = np.zeros((n_envs,), np.int64)
+    prev_done = np.zeros((n_envs,), bool)
+    while fill.min() < per:
+        xy = obs["achieved_goal"].astype(np.float32)
+        goal = obs["desired_goal"].astype(np.float32)
+        wps = np.stack([navs[i].waypoint(xy[i], goal[i])
+                        for i in range(n_envs)])
+        pin = np.concatenate([policy_obs(obs), wps - xy], -1)
+        act = pi(pin, rng)
+        nobs, rew, term, trunc, _ = envs.step(act)
+        age += 1
+        timeout = age >= episode_len
+        d4rl_obs = np.concatenate([xy, policy_obs(obs)], -1)
+        sparse = (np.linalg.norm(xy - goal, axis=-1) < GOAL_RADIUS)
+        valid = np.logical_and(~prev_done, fill < per)
+        for i in np.nonzero(valid)[0]:
+            j = fill[i]
+            cols["observations"][i, j] = d4rl_obs[i]
+            cols["actions"][i, j] = act[i]
+            cols["rewards"][i, j] = float(sparse[i])
+            cols["terminals"][i, j] = 0.0  # antmaze has no MDP terminals
+            cols["timeouts"][i, j] = float(timeout[i] or term[i])
+            fill[i] += 1
+        # hard-reset timed-out or fallen envs (fresh episode boundary)
+        done = np.logical_or(np.logical_or(term, trunc), timeout)
+        for i in np.nonzero(done)[0]:
+            age[i] = 0
+            navs[i] = Navigator(planner)
+        if done.any():
+            # SyncVectorEnv autoresets on term/trunc; force-reset timeouts
+            for i in np.nonzero(timeout & ~(term | trunc))[0]:
+                o_i, _ = envs.envs[i].reset()
+                for k in obs:
+                    nobs[k][i] = o_i[k]
+        prev_done = np.logical_or(term, trunc)
+        obs = nobs
+    envs.close()
+    data = {k: v.reshape((n_envs * per,) + v.shape[2:]) for k, v in cols.items()}
+    for i in range(n_envs):
+        row = (i + 1) * per - 1
+        data["timeouts"][row] = 1.0
+    return data
+
+
+def to_qlearning(data):
+    keep = ~(data["timeouts"][:-1] > 0)
+    return {
+        "observations": data["observations"][:-1][keep],
+        "actions": data["actions"][:-1][keep],
+        "next_observations": data["observations"][1:][keep],
+        "rewards": data["rewards"][:-1][keep],
+        "terminals": data["terminals"][:-1][keep],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("envs", nargs="+",
+                    help="d4rl antmaze names, e.g. antmaze-umaze-v2")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-envs", type=int, default=64)
+    ap.add_argument("--max-steps", type=int, default=3_000_000)
+    ap.add_argument("--rollout-steps", type=int, default=1_000_000)
+    ap.add_argument("--success-gate", type=float, default=0.75)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import gymnasium as gym
+    import gymnasium_robotics  # noqa: F401
+
+    if args.out is None:
+        from cleandiffuser_tpu.pipelines.data_loading import DATA_DIR
+        out_dir = DATA_DIR
+    else:
+        out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    for name in args.envs:
+        gym_id = ANTMAZE_GYM_IDS[name]
+        probe = gym.make(gym_id)
+        planner = WaypointPlanner(probe.unwrapped.maze)
+        probe.close()
+        actor, sr = train_sac_navigator(
+            gym_id, planner, seed=args.seed, n_envs=args.n_envs,
+            max_steps=args.max_steps, success_gate=args.success_gate,
+            out_dir=out_dir, name=name)
+        print(f"[data:{name}] rolling out x{args.rollout_steps} "
+              f"(nav success {sr:.2f})", flush=True)
+        data = rollout_dataset(gym_id, planner, actor, args.rollout_steps,
+                               seed=args.seed)
+        np.savez_compressed(out_dir / f"{name}.npz", **data)
+        np.savez_compressed(out_dir / f"{name}.qlearning.npz",
+                            **to_qlearning(data))
+        print(f"[data] wrote {name}: {data['rewards'].shape[0]} steps, "
+              f"success frac {data['rewards'].mean():.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
