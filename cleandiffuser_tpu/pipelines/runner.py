@@ -129,6 +129,21 @@ def train_loop(
             print(f"[train_loop] resuming from step {start_step}")
     rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
 
+    if (window_fn is not None and start_step % log_interval != 0
+            and start_step < gradient_steps):
+        # realign to the window grid with per-step dispatch, then switch —
+        # silently running the WHOLE run per-step costs 10-20x wall clock
+        # (a stale misaligned ckpt_latest once did exactly that)
+        realign = min(log_interval - start_step % log_interval,
+                      gradient_steps - start_step)
+        print(f"[train_loop] resume step {start_step} off the "
+              f"{log_interval}-step window grid: realigning with "
+              f"{realign} per-step updates", flush=True)
+        for _ in range(realign):
+            rng, k = jax.random.split(rng)
+            step_fn(k)
+        start_step += realign
+
     if (window_fn is not None
             and start_step % log_interval == 0
             and save_interval % log_interval == 0
