@@ -309,3 +309,26 @@ def test_rl_window_fn_alignment_gates():
     A.save_interval = 50
     assert rl_window_fn(pipe, ds, A(), mesh=None) is not None
     assert rl_window_fn(pipe, ds, A(), mesh=object()) is None
+
+
+def test_train_loop_realigns_misaligned_resume():
+    """A resume step off the window grid must realign with per-step
+    updates and then use the fused window — NOT silently run the whole
+    schedule per-step (a stale ckpt_latest once cost 15x wall clock)."""
+    from cleandiffuser_tpu.pipelines.runner import train_loop
+
+    calls = {"step": 0, "window": 0}
+
+    def step_fn(k):
+        calls["step"] += 1
+        return {"loss": jax.numpy.zeros(())}
+
+    def window_fn(k):
+        calls["window"] += 1
+        return {"loss": jax.numpy.zeros(())}
+
+    train_loop(step_fn, gradient_steps=40, log_interval=10, save_interval=40,
+               save_fn=lambda tag: None, resume_fn=lambda: 7,
+               window_fn=window_fn)
+    assert calls["step"] == 3   # realign 7 -> 10
+    assert calls["window"] == 3  # 10 -> 40 in three windows
