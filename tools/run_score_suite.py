@@ -74,6 +74,14 @@ JOBS = [
          steps=300_000,
          extra_train=["policy_diffusion_gradient_steps=300000",
                       "invdyn_gradient_steps=150000"]),
+    # --- antmaze umaze (sparse reward + max_q_backup path; dataset from
+    # tools/make_antmaze_dataset.py — BFS waypoints + SAC navigator) ---
+    dict(name="dql_antmaze_umaze", cli="pipelines/dql_d4rl_antmaze.py",
+         task="antmaze-umaze-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="idql_antmaze_umaze", cli="pipelines/idql_d4rl_antmaze.py",
+         task="antmaze-umaze-v2", steps_key="gradient_steps",
+         steps=1_000_000),
 ]
 
 
