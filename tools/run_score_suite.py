@@ -74,6 +74,17 @@ JOBS = [
          steps=300_000,
          extra_train=["policy_diffusion_gradient_steps=300000",
                       "invdyn_gradient_steps=150000"]),
+    # --- remaining d4rl tiers (datasets already in dev/d4rl): replay is
+    # the low-quality tier, medium-expert the bimodal tier ---
+    dict(name="dql_hc_medreplay", cli="pipelines/dql_d4rl_mujoco.py",
+         task="halfcheetah-medium-replay-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="dql_hopper_medexp", cli="pipelines/dql_d4rl_mujoco.py",
+         task="hopper-medium-expert-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="dql_walker2d_medexp", cli="pipelines/dql_d4rl_mujoco.py",
+         task="walker2d-medium-expert-v2", steps_key="gradient_steps",
+         steps=1_000_000),
     # --- antmaze umaze (sparse reward + max_q_backup path; dataset from
     # tools/make_antmaze_dataset.py — BFS waypoints + SAC navigator) ---
     dict(name="dql_antmaze_umaze", cli="pipelines/dql_d4rl_antmaze.py",
