@@ -36,7 +36,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from cleandiffuser_tpu.env.d4rl_eval import ANTMAZE_GYM_IDS
+from cleandiffuser_tpu.env.d4rl_eval import (ANTMAZE_GYM_IDS,
+                                             U_MAZE_DIVERSE_MAP)
 
 OBS27 = 27       # qpos[2:] (13) + qvel (14); v5 appends contact forces
 WAYPOINT_RADIUS = 1.0   # advance to next waypoint within this distance
@@ -113,12 +114,12 @@ class Navigator:
 
 
 # ---------------------------------------------------------------------------
-def make_envs(gym_id, n_envs, seed):
+def make_envs(gym_id, n_envs, seed, mk_kwargs=None):
     import gymnasium as gym
     import gymnasium_robotics  # noqa: F401 (registers AntMaze_*-v5)
 
     def mk():
-        return gym.make(gym_id, continuing_task=True)
+        return gym.make(gym_id, continuing_task=True, **(mk_kwargs or {}))
 
     envs = gym.vector.SyncVectorEnv([mk for _ in range(n_envs)])
     obs, _ = envs.reset(seed=seed)
@@ -131,7 +132,7 @@ def policy_obs(obs_dict):
 
 
 def navigate_eval(gym_id, planner, actor_params, episodes=8, seed=0,
-                  max_steps=700):
+                  max_steps=700, mk_kwargs=None):
     """Deterministic-policy full-maze navigation success rate."""
     import gymnasium as gym
     import gymnasium_robotics  # noqa: F401
@@ -139,7 +140,7 @@ def navigate_eval(gym_id, planner, actor_params, episodes=8, seed=0,
     from cleandiffuser_tpu.utils.sac import NumpyActor
 
     pi = NumpyActor(actor_params)
-    env = gym.make(gym_id, continuing_task=False)
+    env = gym.make(gym_id, continuing_task=False, **(mk_kwargs or {}))
     succ = 0
     for ep in range(episodes):
         o, _ = env.reset(seed=seed + ep)
@@ -162,10 +163,11 @@ def navigate_eval(gym_id, planner, actor_params, episodes=8, seed=0,
 def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
                         max_steps=3_000_000, warmup=20_000,
                         eval_every=50_000, success_gate=0.75,
-                        out_dir=Path("dev/d4rl"), name="antmaze"):
+                        out_dir=Path("dev/d4rl"), name="antmaze",
+                        mk_kwargs=None):
     from cleandiffuser_tpu.utils.sac import SAC, DeviceCollector
 
-    envs, obs = make_envs(gym_id, n_envs, seed)
+    envs, obs = make_envs(gym_id, n_envs, seed, mk_kwargs)
     sac = SAC(POLICY_OBS, 8, rng=seed)
     col = DeviceCollector(sac, 1_000_000, n_envs)
     host_rng = np.random.default_rng(seed)
@@ -210,7 +212,7 @@ def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
         steps += n_envs
         if steps % eval_every < n_envs and steps >= warmup:
             sr = navigate_eval(gym_id, planner, sac.snapshot_actor(),
-                               seed=seed + 99)
+                               seed=seed + 99, mk_kwargs=mk_kwargs)
             sps = steps / max(time.time() - t0, 1e-9)
             print(f"[antmaze-sac:{name}] {steps} steps ({sps:.0f}/s) "
                   f"nav success={sr:.2f}", flush=True)
@@ -228,7 +230,7 @@ def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
 
 
 def rollout_dataset(gym_id, planner, actor_params, n_steps, seed=0,
-                    n_envs=16, episode_len=700):
+                    n_envs=16, episode_len=700, mk_kwargs=None):
     """Log the d4rl antmaze stream: 29-dim obs, sparse reward, timeout
     boundaries every `episode_len` steps (episode-contiguous, env-major)."""
     import gymnasium as gym
@@ -237,7 +239,7 @@ def rollout_dataset(gym_id, planner, actor_params, n_steps, seed=0,
 
     pi = NumpyActor(actor_params)
     rng = np.random.default_rng(seed + 7)
-    envs, obs = make_envs(gym_id, n_envs, seed + 1000)
+    envs, obs = make_envs(gym_id, n_envs, seed + 1000, mk_kwargs)
     navs = [Navigator(planner) for _ in range(n_envs)]
     per = n_steps // n_envs
     cols = {k: np.zeros((n_envs, per) + s, np.float32) for k, s in
@@ -328,17 +330,22 @@ def main():
 
     for name in args.envs:
         gym_id = ANTMAZE_GYM_IDS[name]
-        probe = gym.make(gym_id)
+        # "diverse" variants resample goals over the open maze; umaze has
+        # no Diverse_G layout in gymnasium_robotics, so pass the same
+        # custom 'c'-cell map the eval env uses (env/d4rl_eval.py)
+        mk_kwargs = ({"maze_map": U_MAZE_DIVERSE_MAP}
+                     if name == "antmaze-umaze-diverse-v2" else None)
+        probe = gym.make(gym_id, **(mk_kwargs or {}))
         planner = WaypointPlanner(probe.unwrapped.maze)
         probe.close()
         actor, sr = train_sac_navigator(
             gym_id, planner, seed=args.seed, n_envs=args.n_envs,
             max_steps=args.max_steps, success_gate=args.success_gate,
-            out_dir=out_dir, name=name)
+            out_dir=out_dir, name=name, mk_kwargs=mk_kwargs)
         print(f"[data:{name}] rolling out x{args.rollout_steps} "
               f"(nav success {sr:.2f})", flush=True)
         data = rollout_dataset(gym_id, planner, actor, args.rollout_steps,
-                               seed=args.seed)
+                               seed=args.seed, mk_kwargs=mk_kwargs)
         np.savez_compressed(out_dir / f"{name}.npz", **data)
         np.savez_compressed(out_dir / f"{name}.qlearning.npz",
                             **to_qlearning(data))

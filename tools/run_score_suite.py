@@ -93,6 +93,9 @@ JOBS = [
     dict(name="idql_antmaze_umaze", cli="pipelines/idql_d4rl_antmaze.py",
          task="antmaze-umaze-v2", steps_key="gradient_steps",
          steps=1_000_000),
+    dict(name="dql_antmaze_umaze_div", cli="pipelines/dql_d4rl_antmaze.py",
+         task="antmaze-umaze-diverse-v2", steps_key="gradient_steps",
+         steps=1_000_000),
 ]
 
 
