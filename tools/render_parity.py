@@ -1,0 +1,81 @@
+"""Render the tier-1 score table in PARITY.md from results/scoreboard_r3.json.
+
+Keeps the measured-score docs mechanically in sync with the suite driver
+(tools/run_score_suite.py): run after suite jobs land. The published bands
+are approximate context ("where the original papers land on d4rl's own
+datasets") — our datasets are REGENERATED with the d4rl recipe on
+MuJoCo-v5 physics (see PARITY.md caveats), so bands are orientation, not
+pass/fail targets.
+
+Usage: python tools/render_parity.py
+"""
+
+import json
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+BOARD = ROOT / "results/scoreboard_r3.json"
+PARITY = ROOT / "PARITY.md"
+
+# (algorithm label, published band) per suite-job name. Bands quote the
+# original papers' d4rl-v2 tables (DQL: Wang et al. 2023 Tab.1; IDQL:
+# Hansen-Estruch et al. 2023; EDP: Kang et al. 2023; DD: Ajay et al. 2023;
+# Diffuser: Janner et al. 2021) and the CleanDiffuser paper's re-runs
+# (arXiv:2406.09509) where they differ.
+ROWS = {
+    "dql_hc_medium": ("DQL", "~0.47-0.52"),
+    "idql_hc_medium": ("IDQL", "~0.48-0.51"),
+    "edp_hc_medium": ("EDP", "~0.47-0.52"),
+    "dql_hopper_medium": ("DQL", "~0.70-0.91"),
+    "dql_walker2d_medium": ("DQL", "~0.82-0.87"),
+    "idql_hopper_medium": ("IDQL", "~0.63-0.70"),
+    "idql_walker2d_medium": ("IDQL", "~0.80-0.85"),
+    "dql_hc_medexp": ("DQL", "~0.90-0.97"),
+    "dql_hc_medreplay": ("DQL", "~0.45-0.48"),
+    "dql_hopper_medexp": ("DQL", "~0.95-1.11"),
+    "dql_walker2d_medexp": ("DQL", "~1.05-1.10"),
+    "dd_hc_medium": ("Decision Diffuser", "~0.44-0.49"),
+    "diffuser_hc_medium": ("Diffuser", "~0.42-0.46"),
+    "veteran_maze2d_umaze": ("Veteran", "n/a (maze2d; Diffuser ~1.14)"),
+    "dql_antmaze_umaze": ("DQL", "~0.74-0.94"),
+    "idql_antmaze_umaze": ("IDQL", "~0.57-0.94"),
+    "dql_antmaze_umaze_div": ("DQL", "~0.55-0.66"),
+}
+
+BEGIN, END = "<!-- tier1:begin -->", "<!-- tier1:end -->"
+
+
+def render(board: dict) -> str:
+    lines = ["| Algorithm | Dataset | Steps | Score (this repo) | Published band |",
+             "|---|---|---|---|---|"]
+    for name, (algo, band) in ROWS.items():
+        row = board.get(name)
+        if not row or "error" in row:
+            continue
+        lines.append(
+            f"| {algo} | {row['task']} | {row['steps']:,} | "
+            f"**{row['score_mean']:.3f} ± {row['score_std']:.3f}** | {band} |")
+    for name, row in board.items():
+        if name not in ROWS and "error" not in row:
+            lines.append(
+                f"| {name} | {row['task']} | {row['steps']:,} | "
+                f"**{row['score_mean']:.3f} ± {row['score_std']:.3f}** | — |")
+    return "\n".join(lines)
+
+
+def main():
+    board = json.loads(BOARD.read_text())
+    table = render(board)
+    text = PARITY.read_text()
+    if BEGIN not in text:
+        raise SystemExit(f"PARITY.md lacks {BEGIN} marker")
+    text = re.sub(re.escape(BEGIN) + r".*?" + re.escape(END),
+                  BEGIN + "\n" + table + "\n" + END, text, flags=re.S)
+    PARITY.write_text(text)
+    done = sum(1 for r in board.values() if "error" not in r)
+    print(f"[parity] rendered {done} scored rows into PARITY.md")
+
+
+if __name__ == "__main__":
+    main()
