@@ -6,6 +6,14 @@ mujoco_py and the vendored relay-policy-learning assets are unavailable
 here; gymnasium_robotics' FrankaKitchen-v1 (MuJoCo 3) provides the same
 multitask kitchen with task-completion rewards, wrapped into the flat
 low-dim observation contract the pipelines expect.
+
+Task-completion semantics are EXACT, not approximate: gymnasium_robotics
+derives from the same relay_policy_learning source the reference vendors,
+and its OBS_ELEMENT_INDICES / OBS_ELEMENT_GOALS / BONUS_THRESH are
+numerically identical to ref:env/kitchen/base.py:12-30 (pinned by
+tests/test_d4rl_eval_envs.py::
+test_kitchen_constants_match_vendored_relay_policy_learning). The
+remaining delta is physics-engine version (MuJoCo 3 vs mujoco_py 2).
 """
 
 from __future__ import annotations

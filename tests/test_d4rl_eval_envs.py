@@ -135,3 +135,25 @@ def test_kitchen_wrapper_composes_with_multistep():
     obs, rew, term, trunc, _ = env.step(np.zeros((1, 9)))
     assert obs.shape == (2, 60) and np.isfinite(rew)
     env.close()
+
+
+def test_kitchen_constants_match_vendored_relay_policy_learning():
+    """gymnasium_robotics' FrankaKitchen derives from the SAME
+    relay_policy_learning source the reference vendors
+    (ref:cleandiffuser/env/kitchen/base.py:12-30): element indices, goal
+    values, and the 0.3 bonus threshold are numerically identical, so the
+    task-completion semantics of our eval env are EXACT, not approximate.
+    This pins the cross-library identity against upstream drift."""
+    gr = pytest.importorskip(
+        "gymnasium_robotics.envs.franka_kitchen.kitchen_env")
+    from cleandiffuser_tpu.env.kitchen import (
+        D4RL_ELEMENT_GOALS,
+        D4RL_ELEMENT_INDICES,
+    )
+
+    assert gr.BONUS_THRESH == 0.3
+    assert set(gr.OBS_ELEMENT_GOALS) == set(D4RL_ELEMENT_GOALS)
+    for task, goal in D4RL_ELEMENT_GOALS.items():
+        np.testing.assert_array_equal(gr.OBS_ELEMENT_GOALS[task], goal)
+        np.testing.assert_array_equal(gr.OBS_ELEMENT_INDICES[task],
+                                      D4RL_ELEMENT_INDICES[task])
