@@ -163,11 +163,11 @@ def bench_sampler_family(name, engine, sample_kwargs, prior, floor,
     # in-program repeat until the signal clears the floor, instead of
     # clamping to a meaningless 1e-7 (BENCH_r02 reported 178413% MFU here)
     reps = repeat
-    for _ in range(4):
+    for attempt in range(4):
         total = time_fn(build(reps), engine.state.ema_params,
                         jax.random.PRNGKey(0), n_warmup=1, n_iters=3)
-        if total - floor >= max(floor, 1e-3):
-            break
+        if total - floor >= max(floor, 1e-3) or attempt == 3:
+            break  # keep reps == what `total` was measured at
         reps *= 10
     t = max(total - floor, 1e-7) / reps
     fl = flops_of(
@@ -293,6 +293,8 @@ def extended_benches(floor):
             t16 = (time.perf_counter() - t0 - floor) / N
             out["dp_chiunet_train_bf16_steps_per_sec"] = round(1.0 / t16, 1)
             out["dp_chiunet_train_bf16_speedup"] = round(t / t16, 3)
+        except Exception as e:  # keep the eval benches below alive
+            out["dp_bf16_bench_error"] = str(e)[:160]
         finally:
             DiffusionModel.bf16_training = False
 

@@ -29,6 +29,8 @@ FAKE_ENV_SPECS = {
     "walker2d-medium-v2": (17, 6),
     "walker2d-medium-expert-v2": (17, 6),
     "walker2d-medium-replay-v2": (17, 6),
+    "antmaze-umaze-v2": (29, 8),
+    "antmaze-umaze-diverse-v2": (29, 8),
     "antmaze-medium-play-v2": (29, 8),
     "antmaze-medium-diverse-v2": (29, 8),
     "antmaze-large-play-v2": (29, 8),
@@ -39,6 +41,17 @@ FAKE_ENV_SPECS = {
     "maze2d-medium-v1": (4, 2),
     "maze2d-large-v1": (4, 2),
 }
+
+
+def _spec_by_prefix(env_name):
+    """Dims for task tiers not explicitly listed (e.g. a new -expert-v2):
+    hermetic data must match the EVAL env's obs/act dims or inference
+    breaks on the normalizer (antmaze-umaze once fell back to 17/6)."""
+    for prefix, spec in (("antmaze", (29, 8)), ("kitchen", (60, 9)),
+                         ("maze2d", (4, 2)), ("hopper", (11, 3))):
+        if env_name.startswith(prefix):
+            return spec
+    return (17, 6)
 
 
 def _rollout(rng, o_dim, a_dim, n_steps, ep_len):
@@ -79,7 +92,7 @@ def fake_d4rl_dataset(
     seed: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Schema of `env.get_dataset()`."""
-    o_dim, a_dim = FAKE_ENV_SPECS.get(env_name, (17, 6))
+    o_dim, a_dim = FAKE_ENV_SPECS.get(env_name, _spec_by_prefix(env_name))
     # respect the benchmark's max episode length (kitchen datasets assume
     # paths <= 280, maze2d <= 300; see dataset/d4rl_kitchen.py:69)
     if env_name.startswith("kitchen"):

@@ -130,10 +130,15 @@ def train_loop(
     rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_step)
 
     if (window_fn is not None and start_step % log_interval != 0
-            and start_step < gradient_steps):
+            and start_step < gradient_steps
+            and save_interval % log_interval == 0
+            and gradient_steps % log_interval == 0):
         # realign to the window grid with per-step dispatch, then switch —
         # silently running the WHOLE run per-step costs 10-20x wall clock
-        # (a stale misaligned ckpt_latest once did exactly that)
+        # (a stale misaligned ckpt_latest once did exactly that). Gated on
+        # the same alignment conditions as the window path below so we
+        # never pay the per-step realign only to fall through to the
+        # per-step loop anyway.
         realign = min(log_interval - start_step % log_interval,
                       gradient_steps - start_step)
         print(f"[train_loop] resume step {start_step} off the "
@@ -143,6 +148,11 @@ def train_loop(
             rng, k = jax.random.split(rng)
             step_fn(k)
         start_step += realign
+        # checkpoint the realigned state: a crash before the next save
+        # boundary would otherwise resume from the stale misaligned step
+        # and repeat the realign (and any save boundary crossed inside the
+        # realign span would have been skipped silently)
+        save_fn("latest")
 
     if (window_fn is not None
             and start_step % log_interval == 0

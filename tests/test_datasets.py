@@ -136,3 +136,23 @@ def test_kitchen_dataset():
     assert ds[0]["obs"]["state"].shape == (8, 60)
     batch = ds.sample_batch(jax.random.PRNGKey(0), 8)
     assert batch["obs"]["state"].shape == (8, 8, 60)
+
+
+def test_fake_dims_match_eval_envs():
+    """Hermetic fallback data must carry the EVAL env's obs/act dims for
+    every task tier the CLIs expose, including tiers absent from
+    FAKE_ENV_SPECS (antmaze-umaze-v2 once fell back to halfcheetah's 17/6
+    and broke hermetic inference on the 29-dim AntMaze wrapper)."""
+    from cleandiffuser_tpu.dataset.fake import fake_d4rl_qlearning_dataset
+
+    for env_name, (o_dim, a_dim) in (
+        ("antmaze-umaze-v2", (29, 8)),
+        ("antmaze-umaze-diverse-v2", (29, 8)),
+        ("antmaze-ultra-play-v2", (29, 8)),   # prefix fallback
+        ("hopper-expert-v2", (11, 3)),        # prefix fallback
+        ("kitchen-complete-v0", (60, 9)),     # prefix fallback
+        ("maze2d-umaze-v1", (4, 2)),
+    ):
+        d = fake_d4rl_qlearning_dataset(env_name, n_steps=64, ep_len=16)
+        assert d["observations"].shape[1] == o_dim, env_name
+        assert d["actions"].shape[1] == a_dim, env_name

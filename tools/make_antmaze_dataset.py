@@ -119,11 +119,29 @@ def make_envs(gym_id, n_envs, seed, mk_kwargs=None):
     import gymnasium_robotics  # noqa: F401 (registers AntMaze_*-v5)
 
     def mk():
-        return gym.make(gym_id, continuing_task=True, **(mk_kwargs or {}))
+        # reset_target=True is load-bearing: with the default (False) the
+        # continuing task NEVER resamples the goal on reach (maze_v4
+        # update_goal gates on it), so the ant would loiter at the goal for
+        # the rest of every episode and the logged stream would be mostly
+        # stationary — unlike d4rl's, whose generation script re-commands a
+        # new goal on every reach.
+        return gym.make(gym_id, continuing_task=True, reset_target=True,
+                        **(mk_kwargs or {}))
 
     envs = gym.vector.SyncVectorEnv([mk for _ in range(n_envs)])
     obs, _ = envs.reset(seed=seed)
     return envs, obs
+
+
+def unhealthy(obs_dict):
+    """Flipped/fallen ants: torso z outside Ant's healthy range.
+
+    AntMazeEnv.step discards the inner ant's termination and
+    compute_terminated always returns False for continuing tasks, so flips
+    must be detected from the observation (obs[0] is qpos z — x/y are
+    excluded from the ant obs and live in achieved_goal)."""
+    z = obs_dict["observation"][:, 0]
+    return (z < 0.2) | (z > 1.0)
 
 
 def policy_obs(obs_dict):
@@ -193,17 +211,28 @@ def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
         else:
             act, log = col.step(pin, new, update=True)
         nobs, rew, term, trunc, info = envs.step(act)
-        npin, nxy, nwps = build_pin(nobs)
-        # dense waypoint-progress reward + survival - a flip costs the
-        # episode (term), which SAC learns to avoid through the bootstrap
-        d_now = np.linalg.norm(nxy - wps, axis=-1)
+        # env term is always False under continuing_task; detect flips from
+        # the obs so a flip costs the episode (term cuts the bootstrap,
+        # which SAC learns to avoid) instead of logging junk until timeout
+        flipped = unhealthy(nobs)
+        # dense waypoint-progress reward + survival, from the PRE-reset
+        # positions (term=1 cuts the bootstrap for flipped envs, so their
+        # post-reset next_obs is never used as a target)
+        d_now = np.linalg.norm(nobs["achieved_goal"].astype(np.float32)
+                               - wps, axis=-1)
         d_prev = np.linalg.norm(xy - wps, axis=-1)
         shaped = (d_prev - d_now) * 10.0 + 0.5
-        done = np.logical_or(term, trunc)
+        for i in np.nonzero(flipped)[0]:
+            o_i, _ = envs.envs[i].reset()
+            for k in nobs:
+                nobs[k][i] = o_i[k]
+            navs[i] = Navigator(planner)
+        npin, nxy, nwps = build_pin(nobs)
+        done = np.logical_or(flipped, trunc)
         valid = ~prev_done
         new = {"obs": pin, "act": act.astype(np.float32),
                "rew": shaped.astype(np.float32), "next_obs": npin,
-               "term": term.astype(np.float32),
+               "term": flipped.astype(np.float32),
                "done": done.astype(np.float32),
                "env": env_ids, "mask": valid.astype(np.float32)}
         prev_done = done
@@ -258,25 +287,32 @@ def rollout_dataset(gym_id, planner, actor_params, n_steps, seed=0,
         nobs, rew, term, trunc, _ = envs.step(act)
         age += 1
         timeout = age >= episode_len
+        # env term is always False (continuing task); hard-reset flipped
+        # ants ourselves so they don't log junk until the timeout
+        flipped = unhealthy(nobs)
         d4rl_obs = np.concatenate([xy, policy_obs(obs)], -1)
-        sparse = (np.linalg.norm(xy - goal, axis=-1) < GOAL_RADIUS)
         valid = np.logical_and(~prev_done, fill < per)
         for i in np.nonzero(valid)[0]:
             j = fill[i]
             cols["observations"][i, j] = d4rl_obs[i]
             cols["actions"][i, j] = act[i]
-            cols["rewards"][i, j] = float(sparse[i])
+            # the env's sparse reward: 1 iff the POST-step position is
+            # within 0.45 of the pre-update goal — d4rl's convention (the
+            # goal-reaching transition itself carries the 1; the goal is
+            # then resampled by reset_target and navigation continues)
+            cols["rewards"][i, j] = float(rew[i])
             cols["terminals"][i, j] = 0.0  # antmaze has no MDP terminals
-            cols["timeouts"][i, j] = float(timeout[i] or term[i])
+            cols["timeouts"][i, j] = float(timeout[i] or flipped[i])
             fill[i] += 1
         # hard-reset timed-out or fallen envs (fresh episode boundary)
-        done = np.logical_or(np.logical_or(term, trunc), timeout)
+        done = np.logical_or(np.logical_or(term, trunc),
+                             np.logical_or(timeout, flipped))
         for i in np.nonzero(done)[0]:
             age[i] = 0
             navs[i] = Navigator(planner)
         if done.any():
-            # SyncVectorEnv autoresets on term/trunc; force-reset timeouts
-            for i in np.nonzero(timeout & ~(term | trunc))[0]:
+            # SyncVectorEnv autoresets on term/trunc; force-reset the rest
+            for i in np.nonzero((timeout | flipped) & ~(term | trunc))[0]:
                 o_i, _ = envs.envs[i].reset()
                 for k in obs:
                     nobs[k][i] = o_i[k]

@@ -41,6 +41,7 @@ ROWS = {
     "dql_antmaze_umaze": ("DQL", "~0.74-0.94"),
     "idql_antmaze_umaze": ("IDQL", "~0.57-0.94"),
     "dql_antmaze_umaze_div": ("DQL", "~0.55-0.66"),
+    "dql_walker2d_medium_2m": ("DQL (2M steps)", "~0.82-0.87"),
 }
 
 BEGIN, END = "<!-- tier1:begin -->", "<!-- tier1:end -->"

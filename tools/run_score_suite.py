@@ -96,6 +96,12 @@ JOBS = [
     dict(name="dql_antmaze_umaze_div", cli="pipelines/dql_d4rl_antmaze.py",
          task="antmaze-umaze-diverse-v2", steps_key="gradient_steps",
          steps=1_000_000),
+    # --- extension: walker2d to the full reference 2M-step DQL recipe
+    # (resumes the 1M ckpt of dql_walker2d_medium; 0.810 at 1M sits just
+    # under the ~0.82-0.87 band) ---
+    dict(name="dql_walker2d_medium_2m", cli="pipelines/dql_d4rl_mujoco.py",
+         task="walker2d-medium-v2", steps_key="gradient_steps",
+         steps=2_000_000),
 ]
 
 
@@ -124,8 +130,15 @@ def launch_with_retry(cmd, log_path: Path, wedge_timeout: float,
                       flush=True)
                 return p
             if p.poll() is not None:
-                break  # died before first log line: relaunch
+                break  # exited before first progress line
         if rx.search(log_path.read_text(errors="ignore")):
+            return p
+        if p.poll() is not None and p.returncode == 0:
+            # clean exit without a progress line: e.g. resume=true on a
+            # fully-trained run prints only the resume banner and returns —
+            # that's completion, not a wedge
+            print(f"[suite] attempt {attempt}: clean no-op exit rc=0",
+                  flush=True)
             return p
         print(f"[suite] attempt {attempt}: wedged/dead, killing {p.pid}",
               flush=True)

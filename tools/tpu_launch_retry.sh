@@ -14,7 +14,7 @@ for attempt in 1 2 3 4 5 6; do
     if grep -qE "${RETRY_PATTERN:-'step'|'gradient_steps'}" $LOG 2>/dev/null; then echo "attempt $attempt: RUNNING pid $PID"; exit 0; fi
     if ! kill -0 $PID 2>/dev/null; then break; fi
   done
-  if grep -qE "'step'|'gradient_steps'" $LOG 2>/dev/null; then echo "attempt $attempt: RUNNING pid $PID"; exit 0; fi
+  if grep -qE "${RETRY_PATTERN:-'step'|'gradient_steps'}" $LOG 2>/dev/null; then echo "attempt $attempt: RUNNING pid $PID"; exit 0; fi
   echo "attempt $attempt: wedged/dead, killing $PID"
   kill $PID 2>/dev/null; sleep 20
 done
