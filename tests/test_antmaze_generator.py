@@ -1,0 +1,117 @@
+"""Unit tests for tools/make_antmaze_dataset.py (the d4rl-recipe antmaze
+dataset generator: BFS waypoints + SAC navigator + continuing-task logging,
+reference d4rl scripts/generation recipe re-created on gymnasium_robotics).
+
+These pin the pieces a chip-scale generation run depends on: the waypoint
+planner's maze geometry, the flip detector that substitutes for the env's
+discarded termination signal, and the reset_target goal-resampling wiring
+(without it the logged stream is mostly goal-loitering)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.make_antmaze_dataset import (  # noqa: E402
+    GOAL_RADIUS,
+    WaypointPlanner,
+    Navigator,
+    make_envs,
+    to_qlearning,
+    unhealthy,
+)
+
+
+class _FakeMaze:
+    """Minimal stand-in for gymnasium_robotics' Maze (u-maze layout)."""
+
+    maze_map = [[1, 1, 1, 1, 1],
+                [1, 0, 0, 0, 1],
+                [1, 1, 1, 0, 1],
+                [1, 0, 0, 0, 1],
+                [1, 1, 1, 1, 1]]
+    maze_size_scaling = 4.0
+
+    def cell_rowcol_to_xy(self, cell):
+        r, c = cell
+        s = self.maze_size_scaling
+        nrows, ncols = len(self.maze_map), len(self.maze_map[0])
+        return np.array([(c - ncols / 2 + 0.5) * s,
+                         (nrows / 2 - r - 0.5) * s], np.float32)
+
+
+def test_bfs_path_routes_around_walls():
+    planner = WaypointPlanner(_FakeMaze())
+    start = planner.cell_to_xy((3, 1))   # bottom-left free cell
+    goal = planner.cell_to_xy((1, 1))    # top-left free cell
+    pts = planner.path(start, goal)
+    # u-maze: must detour through the right corridor (col 3), not go
+    # straight up through the (2, 1) wall
+    cells = [planner.xy_to_cell(p) for p in pts]
+    assert (2, 3) in cells
+    assert all(_FakeMaze.maze_map[r][c] == 0 for r, c in cells)
+    assert np.allclose(pts[-1], goal)
+
+
+def test_navigator_replans_on_goal_change():
+    planner = WaypointPlanner(_FakeMaze())
+    nav = Navigator(planner)
+    xy = planner.cell_to_xy((3, 1))
+    g1 = planner.cell_to_xy((1, 1))
+    wp1 = nav.waypoint(xy, g1)
+    n_wps = len(nav.wps)
+    g2 = planner.cell_to_xy((3, 3))
+    nav.waypoint(xy, g2)
+    assert not np.allclose(nav.goal, g1)
+    assert len(nav.wps) <= n_wps  # fresh plan toward the nearer goal
+    # same goal again: no replan object churn beyond waypoint popping
+    assert np.allclose(nav.waypoint(xy, g2), nav.wps[0])
+    del wp1
+
+
+def test_unhealthy_flags_flipped_torso_z():
+    obs = {"observation": np.array([[0.6, 0.0], [0.1, 0.0], [1.3, 0.0]],
+                                   np.float32)}
+    assert unhealthy(obs).tolist() == [False, True, True]
+
+
+def test_to_qlearning_drops_episode_boundaries_keeps_goal_rewards():
+    n = 10
+    data = {
+        "observations": np.arange(n * 2, dtype=np.float32).reshape(n, 2),
+        "actions": np.zeros((n, 1), np.float32),
+        "rewards": np.zeros((n,), np.float32),
+        "terminals": np.zeros((n,), np.float32),
+        "timeouts": np.zeros((n,), np.float32),
+    }
+    data["rewards"][3] = 1.0   # goal-reach transition (NOT a boundary:
+    data["timeouts"][6] = 1.0  # reset_target keeps the episode going)
+    q = to_qlearning(data)
+    assert q["observations"].shape[0] == n - 2  # last row + boundary row
+    assert q["rewards"].sum() == 1.0            # reward-1 transition kept
+    # next_observations never cross the timeout boundary
+    assert not any(np.allclose(o, data["observations"][7])
+                   for o in q["next_observations"][q["observations"][:, 0] == 12.0])
+
+
+@pytest.mark.slow
+def test_make_envs_resamples_goal_on_reach():
+    """reset_target=True wiring: teleport the ant onto the goal and step —
+    the goal must move (update_goal), keeping the logged stream navigating
+    instead of loitering (d4rl generation semantics)."""
+    gym_rob = pytest.importorskip("gymnasium_robotics")
+    del gym_rob
+    envs, obs = make_envs("AntMaze_UMaze-v5", 1, seed=0)
+    env = envs.envs[0].unwrapped
+    goal_before = env.goal.copy()
+    # place the torso at the goal xy
+    qpos = env.ant_env.data.qpos.copy()
+    qpos[:2] = goal_before
+    env.ant_env.set_state(qpos, env.ant_env.data.qvel.copy())
+    _, rew, _, _, info = envs.envs[0].step(np.zeros(8, np.float32))
+    assert rew > 0 or info.get("success")
+    assert np.linalg.norm(env.goal - goal_before) > GOAL_RADIUS
+    envs.close()
