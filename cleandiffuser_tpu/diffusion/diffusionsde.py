@@ -208,6 +208,7 @@ class BaseDiffusionSDE(DiffusionModel):
         warm_start_forward_level: float = 0.3,
         preserve_history: bool = False,
         final_logp: Optional[bool] = None,
+        fix_mask=None,
     ):
         """Build the pure k-step sampling program.
 
@@ -219,6 +220,11 @@ class BaseDiffusionSDE(DiffusionModel):
         The returned fn is NOT jitted so callers (e.g. DQL's
         backprop-through-sampling policy loss) can compose it into larger
         programs; `sample()` wraps and jits it.
+
+        `fix_mask` overrides the engine's training-time mask for THIS
+        sampler only — inference-time inpainting over extra dims (e.g.
+        pinning a plan's final state to a goal, Diffuser's maze2d
+        protocol) without touching the training loss mask.
         """
         assert solver in SUPPORTED_SOLVERS, f"Solver {solver} is not supported."
         if final_logp is None:
@@ -227,6 +233,10 @@ class BaseDiffusionSDE(DiffusionModel):
         # host_constants: these tables close over the sampling program as
         # MLIR constants; host-backed arrays lower without a tunnel fetch
         with host_constants():
+            if fix_mask is None:
+                fix_mask = self.fix_mask
+            else:
+                fix_mask = jnp.asarray(fix_mask, dtype=jnp.float32)[None]
             ts, alphas, sigmas = self._sample_tables(
                 sample_step_schedule, sample_steps, warm_start_forward_level if warm_start else None
             )
@@ -274,7 +284,7 @@ class BaseDiffusionSDE(DiffusionModel):
                 )
             else:
                 xt = jax.random.normal(k_init, prior.shape) * temperature
-            xt = xt * (1.0 - self.fix_mask) + prior * self.fix_mask
+            xt = xt * (1.0 - fix_mask) + prior * fix_mask
 
             emb = self.apply_condition(params, condition_cfg, mask=mask_cfg, train=False)
 
@@ -303,7 +313,7 @@ class BaseDiffusionSDE(DiffusionModel):
                     solver, xt, eps_theta, x_theta, prev_x_theta, is_first,
                     i, alphas, sigmas, hs, stds, noise,
                 )
-                x_next = x_next * (1.0 - self.fix_mask) + prior * self.fix_mask
+                x_next = x_next * (1.0 - fix_mask) + prior * fix_mask
                 out = x_next if preserve_history else None
                 return (x_next, x_theta, rng), out
 

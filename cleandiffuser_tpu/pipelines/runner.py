@@ -234,8 +234,12 @@ def d4rl_eval_loop(
 
     # an act_fn declaring `ep_reward` receives the running per-env episode
     # reward (used by e.g. kitchen DiffuserLite to ramp the CFG target with
-    # completed-subtask count)
-    wants_rew = "ep_reward" in inspect.signature(act_fn).parameters
+    # completed-subtask count); one declaring `goal_normed` receives the
+    # per-env goal xy normalized with the state normalizer's first two dims
+    # (goal-inpainting planners, e.g. veteran maze2d goal_inpaint=true)
+    sig_params = inspect.signature(act_fn).parameters
+    wants_rew = "ep_reward" in sig_params
+    wants_goal = "goal_normed" in sig_params
     envs = DuckSyncVectorEnv(make_eval_env_fns(env_name, num_envs))
     score_fn = get_normalized_score_fn(env_name)
     clip_hi = {"antmaze": 1.0, "kitchen": 4.0}.get(reward_mode)
@@ -245,11 +249,23 @@ def d4rl_eval_loop(
         ep_reward = np.zeros(num_envs)
         cum_done = np.zeros(num_envs)
         finished = np.zeros(num_envs, dtype=bool)
+        goal_normed = None
+        if wants_goal:
+            goals = np.stack([np.asarray(e.goal, np.float32) for e in envs.envs])
+            # normalize goal xy with the state normalizer's position dims
+            # (elementwise Gaussian/MinMax stats): pad to obs width, take xy
+            pad = np.zeros((num_envs, obs.shape[-1] - 2), np.float32)
+            goal_normed = normalizer.normalize(
+                np.concatenate([goals, pad], -1))[:, :2]
         t = 0
         while not np.all(cum_done) and t < max_steps + 1:
             nobs = normalizer.normalize(obs)
-            act = np.asarray(act_fn(nobs, ep_reward=ep_reward) if wants_rew
-                             else act_fn(nobs))
+            kw = {}
+            if wants_rew:
+                kw["ep_reward"] = ep_reward
+            if wants_goal:
+                kw["goal_normed"] = goal_normed
+            act = np.asarray(act_fn(nobs, **kw))
             obs, rew, term, trunc, _ = envs.step(act)
             done = np.logical_or(term, trunc)
             t += 1

@@ -77,6 +77,7 @@ class VeteranPipeline:
         temperature: float = 1.0,
         rebase_policy: bool = False,
         mcss_selector: str = "ev",  # ev | critic
+        goal_inpaint: bool = False,
         rng: int = 0,
     ):
         assert guidance_type in ("MCSS", "cfg", "cg")
@@ -87,6 +88,12 @@ class VeteranPipeline:
         # DVHorizonCritic value head trained alongside the planner
         # (veteran_d4rl_maze2d.py:373-375) — no EV stage exists there.
         self.mcss_selector = mcss_selector
+        # Goal inpainting (opt-in extension, NOT reference behavior): pin the
+        # plan's final xy to the eval goal during denoising — Diffuser's
+        # maze2d protocol (Janner et al.; d4rl maze2d data has roaming
+        # collection goals, so value/MCSS ranking alone is goal-agnostic and
+        # caps well below the env's expert ceiling; see PARITY.md).
+        self.goal_inpaint = goal_inpaint
         assert pipeline_type in ("separate", "joint")
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.rebase_policy = rebase_policy
@@ -423,15 +430,17 @@ class VeteranPipeline:
         return run
 
     # ------------------------------------------------------------------
-    def act(self, obs_normed, num_candidates: int = 32, rng: Optional[jax.Array] = None):
+    def act(self, obs_normed, num_candidates: int = 32, rng: Optional[jax.Array] = None,
+            goal_normed=None):
         E = obs_normed.shape[0]
-        key = ("act", E, num_candidates)
+        with_goal = self.goal_inpaint and goal_normed is not None
+        key = ("act", E, num_candidates, with_goal)
         if key not in self._fn_cache:
-            self._fn_cache[key] = self._make_act_fn(E, num_candidates)
+            self._fn_cache[key] = self._make_act_fn(E, num_candidates, with_goal)
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
         use_critic = self.guidance_type == "MCSS" and self.mcss_selector == "critic"
-        return self._fn_cache[key](
+        fn_args = (
             self.planner.state.ema_params,
             self.planner.classifier.inference_params if self.guidance_type == "cg" else None,
             self.critic_params if use_critic else self.ev_state.params,
@@ -440,15 +449,26 @@ class VeteranPipeline:
             rng,
             jnp.asarray(obs_normed),
         )
+        if with_goal:
+            fn_args = fn_args + (jnp.asarray(goal_normed),)
+        return self._fn_cache[key](*fn_args)
 
-    def _make_act_fn(self, E: int, K: int):
+    def _make_act_fn(self, E: int, K: int, with_goal: bool = False):
         H, PD, O = self.planner_horizon, self.planner_dim, self.obs_dim
         gt = self.guidance_type
 
+        eval_fix_mask = None
+        if with_goal:
+            # pin the plan's final state xy to the goal during denoising
+            # (Diffuser maze2d protocol); training-time mask untouched.
+            eval_fix_mask = np.zeros((H, PD), np.float32)
+            eval_fix_mask[0, :O] = 1.0
+            eval_fix_mask[-1, :2] = 1.0
         planner_sample = self.planner.build_sample_fn(
             solver=self.planner_solver, sample_steps=self.planner_sampling_steps,
             cfg_mode="mix" if gt == "cfg" else "uncond",
             use_cg=gt == "cg", final_logp=gt == "cg",
+            fix_mask=eval_fix_mask,
         )
         policy_sample = (
             self.policy.build_sample_fn(
@@ -461,11 +481,14 @@ class VeteranPipeline:
         invdyn_fn = self.invdyn.pure_predict_fn() if self.invdyn is not None else None
 
         def act_fn(planner_params, cls_params, ev_params, policy_params, invdyn_params,
-                   rng, obs):
+                   rng, obs, goal=None):
             k_plan, k_policy = jax.random.split(rng)
             if gt in ("MCSS", "cg"):
                 obs_rep = jnp.repeat(obs[:, None, :], K, axis=1).reshape(E * K, O)
                 prior = jnp.zeros((E * K, H, PD)).at[:, 0, :O].set(obs_rep)
+                if goal is not None:
+                    goal_rep = jnp.repeat(goal[:, None, :], K, axis=1).reshape(E * K, 2)
+                    prior = prior.at[:, -1, :2].set(goal_rep)
                 traj, log = planner_sample(
                     planner_params, cls_params, k_plan, prior,
                     w_cg=self.w_cfg if gt == "cg" else 0.0,
@@ -484,6 +507,8 @@ class VeteranPipeline:
             else:  # cfg
                 condition = jnp.ones((E, 1)) * self.target_return
                 prior = jnp.zeros((E, H, PD)).at[:, 0, :O].set(obs)
+                if goal is not None:
+                    prior = prior.at[:, -1, :2].set(goal)
                 traj, _ = planner_sample(
                     planner_params, None, k_plan, prior,
                     condition_cfg=condition, w_cfg=self.w_cfg,

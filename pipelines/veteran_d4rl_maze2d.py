@@ -61,6 +61,10 @@ def pipeline(args):
         policy_sampling_steps=args.policy_sampling_steps,
         rebase_policy=args.get("rebase_policy", False),
         mcss_selector="critic",  # maze2d ranks by DVHorizonCritic (ref :373-375)
+        # goal_inpaint=true (extension): pin the plan's final xy to the eval
+        # goal (Diffuser's maze2d protocol) — the reference's MCSS ranking is
+        # goal-agnostic on maze2d's roaming-goal data (PARITY.md caveat)
+        goal_inpaint=args.get("goal_inpaint", False),
         w_cfg=args.task.planner_w_cfg, target_return=args.task.planner_target_return,
         temperature=args.task.planner_temperature, rng=args.seed,
     )
@@ -107,8 +111,15 @@ def pipeline(args):
             pipe.load(str(ckpt))
         else:
             pipe.planner.load(str(save_path / "planner_latest"))
+        if args.get("goal_inpaint", False):
+            act_fn = lambda nobs, goal_normed: pipe.act(  # noqa: E731
+                nobs, num_candidates=args.planner_num_candidates,
+                goal_normed=goal_normed)[0]
+        else:
+            act_fn = lambda nobs: pipe.act(  # noqa: E731
+                nobs, num_candidates=args.planner_num_candidates)[0]
         d4rl_eval_loop(
-            lambda nobs: pipe.act(nobs, num_candidates=args.planner_num_candidates)[0],
+            act_fn,
             args.task.env_name, dataset.get_normalizer(),
             args.num_envs, args.num_episodes, args.seed,
             max_steps=args.task.max_path_length, logger=logger,

@@ -120,3 +120,85 @@ def test_veteran_critic_selector_and_checkpoint_roundtrip(tmp_path):
     act2, traj2 = pipe2.act(obs, num_candidates=4, rng=jax.random.PRNGKey(5))
     np.testing.assert_allclose(np.asarray(act1), np.asarray(act2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(traj1), np.asarray(traj2), atol=1e-5)
+
+
+def test_veteran_goal_inpaint_pins_final_xy():
+    """goal_inpaint=true (maze2d extension): the selected plan's final xy
+    must equal the provided goal exactly (fix_mask re-pinning each denoise
+    step), while the act path stays finite; without a goal the same pipeline
+    must NOT pin the final state."""
+    raw = fake_d4rl_dataset(n_steps=1500, ep_len=150)
+    ds = DV_D4RLMuJoCoSeqDataset(raw, horizon=8, max_path_length=150)
+    pipe = VeteranPipeline(
+        obs_dim=ds.o_dim, act_dim=ds.a_dim, planner_horizon=8,
+        guidance_type="MCSS", planner_net="transformer",
+        planner_emb_dim=32, planner_d_model=64,
+        gradient_steps=100, planner_sampling_steps=3, policy_sampling_steps=2,
+        mcss_selector="critic", goal_inpaint=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    pipe.train_step(ds.sample_batch(rng, 8), ds.sample_batch(rng, 8))
+    obs = np.random.randn(2, ds.o_dim).astype(np.float32)
+    goal = np.array([[0.5, -0.25], [1.0, 2.0]], np.float32)
+    act, traj = pipe.act(obs, num_candidates=4, rng=jax.random.PRNGKey(3),
+                         goal_normed=goal)
+    traj = np.asarray(traj)
+    np.testing.assert_allclose(traj[:, -1, :2], goal, atol=1e-6)
+    np.testing.assert_allclose(traj[:, 0, : ds.o_dim], obs, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(act)))
+    # no goal passed -> the override mask must not be used
+    _, traj_free = pipe.act(obs, num_candidates=4, rng=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(traj_free)[:, -1, :2], goal, atol=1e-3)
+
+
+def test_eval_loop_threads_goal_normed():
+    """d4rl_eval_loop must hand act_fn the per-env goal xy normalized with
+    the state normalizer's position dims."""
+    import gymnasium as gym
+
+    from cleandiffuser_tpu.pipelines import runner as runner_mod
+
+    class FakeGoalEnv:
+        action_space = gym.spaces.Box(-1, 1, (2,), np.float32)
+        observation_space = gym.spaces.Box(-np.inf, np.inf, (4,), np.float32)
+        goal = np.array([3.0, 1.0], np.float32)
+
+        def __init__(self):
+            self.t = 0
+
+        def reset(self, seed=None):
+            self.t = 0
+            return np.zeros(4, np.float32), {}
+
+        def step(self, action):
+            self.t += 1
+            return np.zeros(4, np.float32), 0.0, False, self.t >= 3, {}
+
+        def close(self):
+            pass
+
+    class IdNormalizer:
+        def normalize(self, x):
+            return (x - 1.0) / 2.0
+
+    seen = {}
+
+    def act_fn(nobs, goal_normed):
+        seen["goal"] = np.array(goal_normed)
+        return np.zeros((nobs.shape[0], 2), np.float32)
+
+    import cleandiffuser_tpu.pipelines.data_loading as dl
+
+    def fake_env_fns(env_name, num_envs):
+        return [FakeGoalEnv for _ in range(num_envs)]
+
+    orig = dl.make_eval_env_fns
+    dl.make_eval_env_fns = fake_env_fns
+    try:
+        runner_mod.d4rl_eval_loop(
+            act_fn, "maze2d-umaze-v1", IdNormalizer(), num_envs=2,
+            num_episodes=1, max_steps=3, reward_mode="maze2d")
+    finally:
+        dl.make_eval_env_fns = orig
+    # goal (3,1) normalized elementwise: ((3-1)/2, (1-1)/2) = (1.0, 0.0)
+    np.testing.assert_allclose(seen["goal"], [[1.0, 0.0], [1.0, 0.0]], atol=1e-6)

@@ -33,11 +33,16 @@ ROWS = {
     "idql_walker2d_medium": ("IDQL", "~0.80-0.85"),
     "dql_hc_medexp": ("DQL", "~0.90-0.97"),
     "dql_hc_medreplay": ("DQL", "~0.45-0.48"),
+    "dql_hopper_medreplay": ("DQL", "~0.93-1.02"),
+    "dql_walker2d_medreplay": ("DQL", "~0.87-0.98"),
     "dql_hopper_medexp": ("DQL", "~0.95-1.11"),
     "dql_walker2d_medexp": ("DQL", "~1.05-1.10"),
     "dd_hc_medium": ("Decision Diffuser", "~0.44-0.49"),
     "diffuser_hc_medium": ("Diffuser", "~0.42-0.46"),
     "veteran_maze2d_umaze": ("Veteran", "n/a (maze2d; Diffuser ~1.14)"),
+    "veteran_maze2d_umaze_gi": ("Veteran + goal inpaint", "Diffuser ~1.14"),
+    "veteran_maze2d_medium": ("Veteran", "n/a (maze2d; Diffuser ~1.22)"),
+    "veteran_maze2d_medium_gi": ("Veteran + goal inpaint", "Diffuser ~1.22"),
     "dql_antmaze_umaze": ("DQL", "~0.74-0.94"),
     "idql_antmaze_umaze": ("IDQL", "~0.57-0.94"),
     "dql_antmaze_umaze_div": ("DQL", "~0.55-0.66"),

@@ -74,10 +74,38 @@ JOBS = [
          steps=300_000,
          extra_train=["policy_diffusion_gradient_steps=300000",
                       "invdyn_gradient_steps=150000"]),
+    # --- veteran maze2d with goal inpainting (extension: Diffuser's maze2d
+    # protocol — pin the plan's final xy to the eval goal; reuses the
+    # checkpoints trained by veteran_maze2d_umaze, so train no-op exits) ---
+    dict(name="veteran_maze2d_umaze_gi", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-umaze-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_train=["policy_diffusion_gradient_steps=300000",
+                      "invdyn_gradient_steps=150000"],
+         extra_infer=["goal_inpaint=true"]),
+    # --- veteran maze2d-medium (bigger layout, 600-step horizon; dataset
+    # from tools/make_maze2d_expert.py) ---
+    dict(name="veteran_maze2d_medium", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-medium-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_train=["policy_diffusion_gradient_steps=300000",
+                      "invdyn_gradient_steps=150000"]),
+    dict(name="veteran_maze2d_medium_gi", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-medium-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_train=["policy_diffusion_gradient_steps=300000",
+                      "invdyn_gradient_steps=150000"],
+         extra_infer=["goal_inpaint=true"]),
     # --- remaining d4rl tiers (datasets already in dev/d4rl): replay is
     # the low-quality tier, medium-expert the bimodal tier ---
     dict(name="dql_hc_medreplay", cli="pipelines/dql_d4rl_mujoco.py",
          task="halfcheetah-medium-replay-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="dql_hopper_medreplay", cli="pipelines/dql_d4rl_mujoco.py",
+         task="hopper-medium-replay-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="dql_walker2d_medreplay", cli="pipelines/dql_d4rl_mujoco.py",
+         task="walker2d-medium-replay-v2", steps_key="gradient_steps",
          steps=1_000_000),
     dict(name="dql_hopper_medexp", cli="pipelines/dql_d4rl_mujoco.py",
          task="hopper-medium-expert-v2", steps_key="gradient_steps",
