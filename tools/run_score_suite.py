@@ -83,19 +83,17 @@ JOBS = [
          extra_train=["policy_diffusion_gradient_steps=300000",
                       "invdyn_gradient_steps=150000"],
          extra_infer=["goal_inpaint=true"]),
-    # --- veteran maze2d-medium (bigger layout, 600-step horizon; dataset
-    # from tools/make_maze2d_expert.py) ---
-    dict(name="veteran_maze2d_medium", cli="pipelines/veteran_d4rl_maze2d.py",
-         task="maze2d-medium-v1", steps_key="planner_diffusion_gradient_steps",
-         steps=300_000,
-         extra_train=["policy_diffusion_gradient_steps=300000",
-                      "invdyn_gradient_steps=150000"]),
-    dict(name="veteran_maze2d_medium_gi", cli="pipelines/veteran_d4rl_maze2d.py",
-         task="maze2d-medium-v1", steps_key="planner_diffusion_gradient_steps",
-         steps=300_000,
-         extra_train=["policy_diffusion_gradient_steps=300000",
-                      "invdyn_gradient_steps=150000"],
-         extra_infer=["goal_inpaint=true"]),
+    # --- antmaze umaze (sparse reward + max_q_backup path; dataset from
+    # tools/make_antmaze_dataset.py — BFS waypoints + SAC navigator) ---
+    dict(name="dql_antmaze_umaze", cli="pipelines/dql_d4rl_antmaze.py",
+         task="antmaze-umaze-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="idql_antmaze_umaze", cli="pipelines/idql_d4rl_antmaze.py",
+         task="antmaze-umaze-v2", steps_key="gradient_steps",
+         steps=1_000_000),
+    dict(name="dql_antmaze_umaze_div", cli="pipelines/dql_d4rl_antmaze.py",
+         task="antmaze-umaze-diverse-v2", steps_key="gradient_steps",
+         steps=1_000_000),
     # --- remaining d4rl tiers (datasets already in dev/d4rl): replay is
     # the low-quality tier, medium-expert the bimodal tier ---
     dict(name="dql_hc_medreplay", cli="pipelines/dql_d4rl_mujoco.py",
@@ -113,17 +111,21 @@ JOBS = [
     dict(name="dql_walker2d_medexp", cli="pipelines/dql_d4rl_mujoco.py",
          task="walker2d-medium-expert-v2", steps_key="gradient_steps",
          steps=1_000_000),
-    # --- antmaze umaze (sparse reward + max_q_backup path; dataset from
-    # tools/make_antmaze_dataset.py — BFS waypoints + SAC navigator) ---
-    dict(name="dql_antmaze_umaze", cli="pipelines/dql_d4rl_antmaze.py",
-         task="antmaze-umaze-v2", steps_key="gradient_steps",
-         steps=1_000_000),
-    dict(name="idql_antmaze_umaze", cli="pipelines/idql_d4rl_antmaze.py",
-         task="antmaze-umaze-v2", steps_key="gradient_steps",
-         steps=1_000_000),
-    dict(name="dql_antmaze_umaze_div", cli="pipelines/dql_d4rl_antmaze.py",
-         task="antmaze-umaze-diverse-v2", steps_key="gradient_steps",
-         steps=1_000_000),
+    # --- veteran maze2d-medium (bigger layout, 600-step horizon; dataset
+    # from tools/make_maze2d_expert.py) ---
+    dict(name="veteran_maze2d_medium", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-medium-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_train=["policy_diffusion_gradient_steps=300000",
+                      "invdyn_gradient_steps=150000"],
+         # 600-step episodes: 6 eval episodes x 50 envs = 300 rollouts
+         extra_infer=["num_episodes=6"]),
+    dict(name="veteran_maze2d_medium_gi", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-medium-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_train=["policy_diffusion_gradient_steps=300000",
+                      "invdyn_gradient_steps=150000"],
+         extra_infer=["goal_inpaint=true", "num_episodes=6"]),
     # --- extension: walker2d to the full reference 2M-step DQL recipe
     # (resumes the 1M ckpt of dql_walker2d_medium; 0.810 at 1M sits just
     # under the ~0.82-0.87 band) ---
