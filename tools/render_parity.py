@@ -43,6 +43,8 @@ ROWS = {
     "veteran_maze2d_umaze_gi": ("Veteran + goal inpaint", "Diffuser ~1.14"),
     "veteran_maze2d_medium": ("Veteran", "n/a (maze2d; Diffuser ~1.22)"),
     "veteran_maze2d_medium_gi": ("Veteran + goal inpaint", "Diffuser ~1.22"),
+    "veteran_maze2d_large": ("Veteran", "n/a (maze2d; Diffuser ~1.23)"),
+    "veteran_maze2d_large_gi": ("Veteran + goal inpaint", "Diffuser ~1.23"),
     "dql_antmaze_umaze": ("DQL", "~0.74-0.94"),
     "idql_antmaze_umaze": ("IDQL", "~0.57-0.94"),
     "dql_antmaze_umaze_div": ("DQL", "~0.55-0.66"),

@@ -126,6 +126,19 @@ JOBS = [
          extra_train=["policy_diffusion_gradient_steps=300000",
                       "invdyn_gradient_steps=150000"],
          extra_infer=["goal_inpaint=true", "num_episodes=6"]),
+    dict(name="veteran_maze2d_large", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-large-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_train=["policy_diffusion_gradient_steps=300000",
+                      "invdyn_gradient_steps=150000"],
+         # 800-step episodes: 4 eval episodes x 50 envs = 200 rollouts
+         extra_infer=["num_episodes=4"]),
+    dict(name="veteran_maze2d_large_gi", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-large-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_train=["policy_diffusion_gradient_steps=300000",
+                      "invdyn_gradient_steps=150000"],
+         extra_infer=["goal_inpaint=true", "num_episodes=4"]),
     # --- extension: walker2d to the full reference 2M-step DQL recipe
     # (resumes the 1M ckpt of dql_walker2d_medium; 0.810 at 1M sits just
     # under the ~0.82-0.87 band) ---
