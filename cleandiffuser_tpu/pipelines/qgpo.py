@@ -231,6 +231,8 @@ class QGPOPipeline:
             self._rng, k = jax.random.split(self._rng)
             acts = self._fn_cache[key](self.actor.state.ema_params, k, jnp.asarray(obs))
             out[sl] = np.asarray(acts)[:n]
+            if (i // batch_size) % 10 == 0 or sl.stop == N:
+                print(f"supported actions: step {sl.stop}/{N}", flush=True)
         return out
 
     # ------------------------------------------------------------------

@@ -153,6 +153,11 @@ def train_loop(
         # and repeat the realign (and any save boundary crossed inside the
         # realign span would have been skipped silently)
         save_fn("latest")
+        if start_step % save_interval == 0:
+            # the realign span ended exactly ON a save boundary — emit the
+            # numbered checkpoint too, keeping the ckpt_<step> series
+            # contiguous for downstream ckpt=<step> selection
+            save_fn(str(start_step))
 
     if (window_fn is not None
             and start_step % log_interval == 0
@@ -245,12 +250,23 @@ def d4rl_eval_loop(
     clip_hi = {"antmaze": 1.0, "kitchen": 4.0}.get(reward_mode)
     episode_rewards = []
     for ep in range(num_episodes):
-        obs, _ = envs.reset(seed=seed + ep)
+        # non-overlapping seed block per episode: vector reset with int seed
+        # seeds sub-envs [s, s+1, ..., s+n-1], so stepping by num_envs keeps
+        # every rollout's initial state distinct across episodes
+        obs, _ = envs.reset(seed=seed + ep * num_envs)
         ep_reward = np.zeros(num_envs)
         cum_done = np.zeros(num_envs)
         finished = np.zeros(num_envs, dtype=bool)
         goal_normed = None
         if wants_goal:
+            # assumes (a) every sub-env exposes `.goal` (currently only the
+            # maze2d eval wrappers do) and (b) the normalizer is ELEMENTWISE
+            # with position xy in obs dims 0:2 — both hold for d4rl maze2d's
+            # Gaussian/MinMax normalizers over [xy, ...] observations
+            if not all(hasattr(e, "goal") for e in envs.envs):
+                raise ValueError(
+                    f"act_fn declares goal_normed but env {env_name} exposes "
+                    "no per-env .goal (only maze2d eval wrappers do)")
             goals = np.stack([np.asarray(e.goal, np.float32) for e in envs.envs])
             # normalize goal xy with the state normalizer's position dims
             # (elementwise Gaussian/MinMax stats): pad to obs width, take xy

@@ -291,4 +291,6 @@ class SynthERPipeline:
             x = np.asarray(gen_fn(self.diffusion.state.ema_params, k))
             out.append(x[: min(remaining, batch_size)])
             remaining -= batch_size
+            print(f"synthesized: step {n_transitions - max(remaining, 0)}"
+                  f"/{n_transitions}", flush=True)
         return np.concatenate(out, axis=0)

@@ -58,26 +58,41 @@ def pipeline(args):
         )
     elif args.mode == "finetune":
         pipe.load(str(save_path / f"ckpt_{args.ft_ckpt}"))
-        buffer, target = [], 50_000
+        # self-evolving buffer target / gradient budget are overridable
+        # (`ft_target=... ft_gradient_steps=...`) so smoke runs and the
+        # score suite can bound the loop; defaults match the reference
+        target = int(args.get("ft_target", 50_000))
+        ft_steps = int(args.get("ft_gradient_steps", 200_000))
+        max_rounds = int(args.get("ft_max_rounds", 500))
+        buffer, rounds = [], 0
         rng = jax.random.PRNGKey(args.seed)
-        while sum(t.shape[0] for t in buffer) < target:
+        while sum(t.shape[0] for t in buffer) < target and rounds < max_rounds:
             rng, k = jax.random.split(rng)
             batch = dataset.sample_batch(k, 2000)
             start_obs = np.asarray(batch["obs"]["state"][:, 0])
             traj, _ = pipe.generate_and_filter(start_obs, args.task.metric_value)
             if traj.shape[0]:
                 buffer.append(traj)
+            rounds += 1
             kept = sum(t.shape[0] for t in buffer)
-            print(f"selected {kept}/{target} synthetic trajectories")
+            print(f"selected {kept}/{target} synthetic trajectories",
+                  flush=True)
+        if not buffer:
+            raise RuntimeError(
+                "finetune: the reward filter accepted zero trajectories in "
+                f"{rounds} rounds — metric_value {args.task.metric_value} "
+                "is above what the trained planner generates")
         buffer = np.concatenate(buffer)[:target]
         rng_np = np.random.default_rng(args.seed)
-        for step in range(200_000):
-            idx = rng_np.integers(0, target, 32)
+        for step in range(ft_steps):
+            idx = rng_np.integers(0, min(target, buffer.shape[0]), 32)
             log = pipe.finetune_step(buffer[idx])
             if (step + 1) % args.log_interval == 0:
                 print({"gradient_steps": step + 1, **log})
             if (step + 1) % args.save_interval == 0:
-                pipe.save(str(save_path / "finetuned_ckpt_latest"))
+                # name matches the inference loader's ckpt_<tag> scheme:
+                # mode=inference ckpt=finetuned_latest picks this up
+                pipe.save(str(save_path / "ckpt_finetuned_latest"))
     elif args.mode == "inference":
         pipe.load(str(save_path / f"ckpt_{args.ckpt}"))
         d4rl_eval_loop(

@@ -81,7 +81,8 @@ def pipeline(args):
         envs = gym.vector.SyncVectorEnv(make_eval_env_fns(args.task.env_name, args.num_envs))
         episode_rewards = []
         for ep in range(args.num_episodes):
-            obs, _ = envs.reset(seed=args.seed + ep)
+            # per-episode seed BLOCK (vector reset seeds sub-envs [s..s+n-1])
+            obs, _ = envs.reset(seed=args.seed + ep * args.num_envs)
             ep_reward, cum_done, t = np.zeros(args.num_envs), np.zeros(args.num_envs), 0
             while not np.all(cum_done) and t < 1001:
                 nobs = normalizer.normalize(obs)

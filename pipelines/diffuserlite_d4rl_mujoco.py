@@ -107,7 +107,7 @@ def pipeline(args):
             pairs = pipe.prepare_reflow_pairs(
                 batches(k), sampling_steps=args.dataset_prepare_sampling_steps)
             all_pairs.append(pairs)
-            print(f"reflow pairs: {b + 1}/{n_batches}")
+            print(f"reflow pairs: step {b + 1}/{n_batches}", flush=True)
         merged = [
             {key: np.concatenate([p[i][key] for p in all_pairs])
              for key in all_pairs[0][i]}

@@ -302,7 +302,12 @@ def rollout_dataset(gym_id, planner, actor_params, n_steps, seed=0,
             # then resampled by reset_target and navigation continues)
             cols["rewards"][i, j] = float(rew[i])
             cols["terminals"][i, j] = 0.0  # antmaze has no MDP terminals
-            cols["timeouts"][i, j] = float(timeout[i] or flipped[i])
+            # fold the env's own truncation in too: if a gym id ever
+            # registers max_episode_steps != episode_len, the autoreset
+            # boundary must still be flagged or to_qlearning would keep a
+            # cross-episode transition into a post-reset observation
+            cols["timeouts"][i, j] = float(timeout[i] or flipped[i]
+                                           or trunc[i])
             fill[i] += 1
         # hard-reset timed-out or fallen envs (fresh episode boundary)
         done = np.logical_or(np.logical_or(term, trunc),

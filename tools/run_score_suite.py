@@ -145,6 +145,43 @@ JOBS = [
     dict(name="dql_walker2d_medium_2m", cli="pipelines/dql_d4rl_mujoco.py",
          task="walker2d-medium-v2", steps_key="gradient_steps",
          steps=2_000_000),
+    # --- family coverage: one real-data tier-1 row per remaining algorithm
+    # family (VERDICT r3 item 10). Multi-phase CLIs run each mode in order
+    # (`phases`); `steps` is the primary budget for reporting only. ---
+    dict(name="sfbc_hc_medium", cli="pipelines/sfbc_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps=1_000_000,
+         phases=[["mode=bc_training", "bc_gradient_steps=1000000"],
+                 ["mode=critic_training", "critic_gradient_steps=100000"]]),
+    dict(name="qgpo_hc_medium", cli="pipelines/qgpo_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps=1_000_000,
+         phases=[["mode=bc_training", "bc_gradient_steps=1000000"],
+                 ["mode=supported_action_collecting"],
+                 ["mode=q_training", "q_gradient_steps=1000000"],
+                 ["mode=cep_training", "cep_gradient_steps=1000000"]]),
+    dict(name="synther_hc_medium", cli="pipelines/synther_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps=1_000_000,
+         phases=[["mode=train_diffusion", "diffusion_gradient_steps=100000"],
+                 ["mode=transition_generation"],
+                 ["mode=train_td3bc", "td3bc_gradient_steps=1000000"]]),
+    dict(name="diffuserlite_hc_medium",
+         cli="pipelines/diffuserlite_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps=500_000,
+         phases=[["mode=training", "diffusion_gradient_steps=500000",
+                  "invdyn_gradient_steps=500000"],
+                 ["mode=prepare_dataset", "reflow_backbone_ckpt=latest"],
+                 ["mode=reflow", "reflow_backbone_ckpt=latest",
+                  "reflow_gradient_steps=250000"]],
+         extra_infer=["test_model=R2", "diffusion_ckpt=latest"]),
+    dict(name="adaptdiffuser_hc_medium",
+         cli="pipelines/adaptdiffuser_d4rl_mujoco.py",
+         task="halfcheetah-medium-v2", steps=500_000,
+         phases=[["mode=train", "diffusion_gradient_steps=500000",
+                  "classifier_gradient_steps=500000"],
+                 dict(args=["mode=finetune", "ft_ckpt=latest"],
+                      # the self-evolving buffer collection prints
+                      # "selected k/50000 ..." before any gradient step
+                      pattern=r"selected \d+/|'gradient_steps'")],
+         extra_infer=["ckpt=finetuned_latest"]),
 ]
 
 
@@ -161,20 +198,31 @@ def launch_with_retry(cmd, log_path: Path, wedge_timeout: float,
     """Start cmd; if the log shows no progress line within wedge_timeout,
     kill and relaunch (fresh client connection). Returns the Popen."""
     rx = re.compile(pattern)
+    log_path.write_text("")  # fresh log per JOB, append per ATTEMPT
     for attempt in range(1, max_attempts + 1):
-        log_f = open(log_path, "w")
+        # append mode: keep every wedged attempt's output (the only
+        # evidence for diagnosing recurring wedges); mark the boundary
+        with open(log_path, "a") as f:
+            f.write(f"\n[suite] ---- attempt {attempt} ----\n")
+        attempt_rx_off = log_path.stat().st_size  # only scan THIS attempt
+        log_f = open(log_path, "a")
         p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT,
                              cwd=ROOT)
+        log_f.close()  # child holds its own fd; don't leak ours
+        def seen():
+            with open(log_path, errors="ignore") as f:
+                f.seek(attempt_rx_off)
+                return rx.search(f.read())
         t0 = time.time()
         while time.time() - t0 < wedge_timeout:
             time.sleep(10)
-            if rx.search(log_path.read_text(errors="ignore")):
+            if seen():
                 print(f"[suite] attempt {attempt}: running (pid {p.pid})",
                       flush=True)
                 return p
             if p.poll() is not None:
                 break  # exited before first progress line
-        if rx.search(log_path.read_text(errors="ignore")):
+        if seen():
             return p
         if p.poll() is not None and p.returncode == 0:
             # clean exit without a progress line: e.g. resume=true on a
@@ -211,15 +259,32 @@ def run_job(job, args):
     base = [sys.executable, "-u", job["cli"], f"task={job['task']}"]
 
     t0 = time.time()
-    train_cmd = base + [
-        "mode=train", f"{job['steps_key']}={job['steps']}", "resume=true",
-    ] + job.get("extra_train", [])
-    p = launch_with_retry(train_cmd, train_log, args.wedge_timeout)
-    rc = p.wait()
-    if rc != 0:
-        print(f"[suite] {name}: TRAIN FAILED rc={rc} — see {train_log}",
-              flush=True)
-        return dict(name=name, error=f"train rc={rc}")
+    if "phases" in job:
+        # multi-phase CLIs (sfbc/qgpo/synther/diffuserlite/adaptdiffuser):
+        # run each mode sequentially; a phase may be a plain override list
+        # or a dict(args=[...], pattern=...) for a custom liveness regex
+        for pi, phase in enumerate(job["phases"]):
+            ph_args = phase["args"] if isinstance(phase, dict) else phase
+            ph_pat = (phase.get("pattern") if isinstance(phase, dict)
+                      else None) or r"'gradient_steps'|'step'|episode "
+            ph_log = LOGDIR / f"suite_{name}_p{pi}_train.log"
+            p = launch_with_retry(base + list(ph_args), ph_log,
+                                  args.wedge_timeout, pattern=ph_pat)
+            rc = p.wait()
+            if rc != 0:
+                print(f"[suite] {name}: PHASE {pi} FAILED rc={rc} — see "
+                      f"{ph_log}", flush=True)
+                return dict(name=name, error=f"phase{pi} rc={rc}")
+    else:
+        train_cmd = base + [
+            "mode=train", f"{job['steps_key']}={job['steps']}", "resume=true",
+        ] + job.get("extra_train", [])
+        p = launch_with_retry(train_cmd, train_log, args.wedge_timeout)
+        rc = p.wait()
+        if rc != 0:
+            print(f"[suite] {name}: TRAIN FAILED rc={rc} — see {train_log}",
+                  flush=True)
+            return dict(name=name, error=f"train rc={rc}")
     t_train = time.time() - t0
 
     t0 = time.time()
