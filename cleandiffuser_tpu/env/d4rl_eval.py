@@ -23,7 +23,7 @@ import numpy as np
 
 __all__ = ["AntMazeD4RLWrapper", "PointMazeD4RLWrapper",
            "make_antmaze_env", "make_maze2d_env",
-           "ANTMAZE_GYM_IDS", "MAZE2D_GYM_IDS"]
+           "ANTMAZE_GYM_IDS", "ANTMAZE_EVAL_CELLS", "MAZE2D_GYM_IDS"]
 
 # d4rl env-name -> gymnasium_robotics id. "play" maps to the fixed-goal
 # layout, "diverse" to the diverse-goal (`Diverse_G`) layout. No
@@ -45,6 +45,26 @@ ANTMAZE_GYM_IDS = {
     "antmaze-medium-diverse-v2": "AntMaze_Medium_Diverse_G-v5",
     "antmaze-large-play-v2": "AntMaze_Large-v5",
     "antmaze-large-diverse-v2": "AntMaze_Large_Diverse_G-v5",
+}
+
+# d4rl antmaze evaluation is a FIXED task: the ant starts at one end of
+# the maze and must reach a fixed target at the other end; dataset rewards
+# are relabeled against that same target (d4rl locomotion/__init__.py
+# registers eval=True envs with a fixed target_goal; `diverse`/`play` only
+# change the DATA distribution, never the eval goal). gymnasium_robotics'
+# AntMaze-v5 maps instead mark every open cell as a combined reset/goal
+# cell and resample a goal per reset — unlearnable under the d4rl 29-dim
+# obs layout, which carries no goal. Pin (goal_cell, reset_cell) per task
+# at every reset, with position noise zeroed so the goal is exactly the
+# cell center the dataset rewards were relabeled against (episode variety
+# still comes from the ant's own qpos/qvel reset noise).
+ANTMAZE_EVAL_CELLS = {
+    "antmaze-umaze-v2": ((1, 1), (3, 1)),
+    "antmaze-umaze-diverse-v2": ((1, 1), (3, 1)),
+    "antmaze-medium-play-v2": ((6, 6), (1, 1)),
+    "antmaze-medium-diverse-v2": ((6, 6), (1, 1)),
+    "antmaze-large-play-v2": ((7, 9), (1, 1)),
+    "antmaze-large-diverse-v2": ((7, 9), (1, 1)),
 }
 
 MAZE2D_GYM_IDS = {
@@ -112,9 +132,26 @@ class AntMazeD4RLWrapper(_FlattenGoalEnv):
     """obs = [achieved_goal (xy, 2) | observation[:27] (qpos[2:] + qvel)]
     = d4rl's 29 dims. gymnasium's Ant-v5 observation appends 78 cfrc_ext
     contact-force dims that the d4rl layout (and the trained normalizers)
-    never had — sliced off here."""
+    never had — sliced off here. `eval_cells=(goal_cell, reset_cell)` pins
+    the fixed d4rl task on every reset (see ANTMAZE_EVAL_CELLS)."""
 
     _obs_keys = ("achieved_goal", "observation")
+
+    def __init__(self, env, eval_cells=None):
+        super().__init__(env)
+        self._reset_options = None
+        if eval_cells is not None:
+            goal_cell, reset_cell = eval_cells
+            self._reset_options = {
+                "goal_cell": np.asarray(goal_cell, dtype=np.int64),
+                "reset_cell": np.asarray(reset_cell, dtype=np.int64),
+            }
+
+    def reset(self, **kwargs):
+        # vector envs pass options=None explicitly — replace None too
+        if self._reset_options is not None and kwargs.get("options") is None:
+            kwargs["options"] = self._reset_options
+        return super().reset(**kwargs)
 
     def _flatten(self, obs_dict) -> np.ndarray:
         return np.concatenate(
@@ -161,12 +198,15 @@ def make_antmaze_env(env_name: str, render_mode=None):
     gid = ANTMAZE_GYM_IDS.get(env_name)
     if gid is None:
         raise ValueError(f"no gymnasium mapping for {env_name}")
-    kwargs = {}
-    if env_name == "antmaze-umaze-diverse-v2":
-        kwargs["maze_map"] = U_MAZE_DIVERSE_MAP
-    return AntMazeD4RLWrapper(
-        gym.make(gid, continuing_task=False, render_mode=render_mode, **kwargs)
-    )
+    # eval always runs the standard map with the fixed d4rl task pinned —
+    # the diverse maps/goal-sets only describe DATA collection. Zero the
+    # maze-level position noise so the goal sits exactly on the cell center
+    # the dataset rewards were relabeled against (the Ant's own reset noise
+    # keeps episodes stochastic); the kwarg isn't plumbed through AntMaze's
+    # constructor, so set the attribute post-construction.
+    env = gym.make(gid, continuing_task=False, render_mode=render_mode)
+    env.unwrapped.position_noise_range = 0.0
+    return AntMazeD4RLWrapper(env, eval_cells=ANTMAZE_EVAL_CELLS[env_name])
 
 
 def make_maze2d_env(env_name: str, render_mode=None):

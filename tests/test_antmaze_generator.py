@@ -115,3 +115,78 @@ def test_make_envs_resamples_goal_on_reach():
     assert rew > 0 or info.get("success")
     assert np.linalg.norm(env.goal - goal_before) > GOAL_RADIUS
     envs.close()
+
+
+def test_relabel_fixed_goal_marks_post_step_positions():
+    from tools.make_antmaze_dataset import relabel_fixed_goal
+
+    goal = np.array([-4.0, 4.0], np.float32)
+    # 6-step stream; positions of rows 2 and 5 are inside the goal radius.
+    xy = np.array([[0, 0], [-3.0, 3.0], [-4.1, 4.2], [0, 0],
+                   [9, 9], [-4.0, 4.0]], np.float32)
+    obs = np.concatenate([xy, np.zeros((6, 27), np.float32)], -1)
+    data = {
+        "observations": obs,
+        "actions": np.zeros((6, 8), np.float32),
+        "rewards": np.full((6,), 0.77, np.float32),  # collection-goal junk
+        "terminals": np.zeros((6,), np.float32),
+        # row 3 ends an episode -> row 4 starts a new one
+        "timeouts": np.array([0, 0, 0, 1, 0, 0], np.float32),
+    }
+    out = relabel_fixed_goal(data, goal)
+    # reward[j] = 1 iff obs[j+1] is within the radius AND same episode:
+    # row 1 -> row 2 in-goal = 1; row 4 -> row 5 in-goal = 1; row 2's next
+    # (row 3) is out; row 3 is a boundary (timeout) so even if row 4 were
+    # in-goal it would be 0; last row has no next -> 0.
+    assert out["rewards"].tolist() == [0, 1, 0, 0, 1, 0]
+    assert out["terminals"].tolist() == out["rewards"].tolist()
+    # inputs not mutated
+    assert data["rewards"][0] == np.float32(0.77)
+
+
+@pytest.mark.slow
+def test_antmaze_eval_env_pins_fixed_d4rl_task():
+    """Eval resets must pin the FIXED d4rl task: same exact (noise-free)
+    goal at the goal-cell center on every reset, start at the reset cell —
+    gymnasium's all-open AntMaze-v5 maps would otherwise resample a random
+    goal per reset, which the goal-free 29-dim obs cannot express."""
+    from cleandiffuser_tpu.env.d4rl_eval import make_antmaze_env
+
+    env = make_antmaze_env("antmaze-umaze-v2")
+    inner = env.env.unwrapped
+    goals = []
+    for seed in (0, 1, 2):
+        obs, _ = env.reset(seed=seed)
+        assert obs.shape == (29,)
+        goals.append(inner.goal.copy())
+        # start near the reset cell (3,1) center (-4,-4); ant reset noise
+        # is small (0.1 uniform on qpos)
+        assert np.linalg.norm(obs[:2] - np.array([-4.0, -4.0])) < 1.0
+    goals = np.stack(goals)
+    assert np.allclose(goals, goals[0])          # fixed across resets
+    assert np.allclose(goals[0], [-4.0, 4.0])    # exactly the cell center
+    env.close()
+
+
+@pytest.mark.slow
+def test_fixed_task_rollout_envs_terminate_at_goal():
+    """make_envs(fixed_cells=...) must pin the task below the vector env
+    (autoresets stay pinned) and terminate on goal reach so the env's own
+    sparse reward doubles as the d4rl-relabeled reward."""
+    import gymnasium as gym
+
+    envs, obs = make_envs("AntMaze_UMaze-v5", 2, seed=0,
+                          fixed_cells=((1, 1), (3, 1)))
+    assert np.allclose(obs["desired_goal"], [[-4.0, 4.0], [-4.0, 4.0]])
+    # teleport one ant onto the goal and step: sparse reward + termination
+    e0 = envs.envs[0].unwrapped
+    qpos = e0.data.qpos.copy()
+    qpos[:2] = [-4.0, 4.0]
+    e0.ant_env.set_state(qpos, e0.data.qvel.copy())
+    _, rew, term, _, _ = envs.step(np.zeros((2, 8), np.float32))
+    assert rew[0] > 0 and bool(term[0])
+    # the autoreset (next step under gymnasium>=1.0) stays on the pinned
+    # task: desired_goal remains the fixed cell center
+    nobs, *_ = envs.step(np.zeros((2, 8), np.float32))
+    assert np.allclose(nobs["desired_goal"][0], [-4.0, 4.0])
+    envs.close()

@@ -36,7 +36,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from cleandiffuser_tpu.env.d4rl_eval import (ANTMAZE_GYM_IDS,
+from cleandiffuser_tpu.env.d4rl_eval import (ANTMAZE_EVAL_CELLS,
+                                             ANTMAZE_GYM_IDS,
                                              U_MAZE_DIVERSE_MAP)
 
 OBS27 = 27       # qpos[2:] (13) + qvel (14); v5 appends contact forces
@@ -96,17 +97,27 @@ class WaypointPlanner:
 
 
 class Navigator:
-    """Per-env waypoint state: replan when the env's goal changes."""
+    """Per-env waypoint state: replan when the env's goal changes OR the
+    ant teleports (an episode reset — with a FIXED goal the goal-change
+    trigger alone would leave the new episode on the old, fully-popped
+    path and the policy beelining into walls; normal steps move <0.2m, a
+    reset jumps several meters)."""
+
+    TELEPORT = 2.0
 
     def __init__(self, planner):
         self.planner = planner
         self.goal = None
+        self.last_xy = None
         self.wps = []
 
     def waypoint(self, xy, goal):
-        if self.goal is None or np.linalg.norm(goal - self.goal) > 1e-6:
+        if (self.goal is None
+                or np.linalg.norm(goal - self.goal) > 1e-6
+                or np.linalg.norm(xy - self.last_xy) > self.TELEPORT):
             self.goal = goal.copy()
             self.wps = self.planner.path(xy, goal)
+        self.last_xy = xy.copy()
         while len(self.wps) > 1 and (
                 np.linalg.norm(xy - self.wps[0]) < WAYPOINT_RADIUS):
             self.wps.pop(0)
@@ -114,11 +125,40 @@ class Navigator:
 
 
 # ---------------------------------------------------------------------------
-def make_envs(gym_id, n_envs, seed, mk_kwargs=None):
+def _pin_task(env, cells):
+    """Inject fixed (goal_cell, reset_cell) options into EVERY reset — sits
+    BELOW the vector env so autoresets after goal-reach termination stay on
+    the pinned task. Everything else passes through."""
+    import gymnasium as gym
+
+    goal_cell, reset_cell = cells
+    options = {"goal_cell": np.asarray(goal_cell, np.int64),
+               "reset_cell": np.asarray(reset_cell, np.int64)}
+
+    class PinTask(gym.Wrapper):
+        def reset(self, **kwargs):
+            # vector envs pass options=None explicitly — replace None too
+            if kwargs.get("options") is None:
+                kwargs["options"] = options
+            return self.env.reset(**kwargs)
+
+    return PinTask(env)
+
+
+def make_envs(gym_id, n_envs, seed, mk_kwargs=None, fixed_cells=None):
     import gymnasium as gym
     import gymnasium_robotics  # noqa: F401 (registers AntMaze_*-v5)
 
     def mk():
+        if fixed_cells is not None:
+            # d4rl's non-diverse recipe: every episode IS the eval task —
+            # start at reset_cell, terminate on reaching the exact
+            # (noise-free) goal_cell center; the env's own sparse reward
+            # is then already the d4rl-relabeled reward.
+            env = gym.make(gym_id, continuing_task=False,
+                           **(mk_kwargs or {}))
+            env.unwrapped.position_noise_range = 0.0
+            return _pin_task(env, fixed_cells)
         # reset_target=True is load-bearing: with the default (False) the
         # continuing task NEVER resamples the goal on reach (maze_v4
         # update_goal gates on it), so the ant would loiter at the goal for
@@ -259,16 +299,25 @@ def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
 
 
 def rollout_dataset(gym_id, planner, actor_params, n_steps, seed=0,
-                    n_envs=16, episode_len=700, mk_kwargs=None):
+                    n_envs=16, episode_len=700, mk_kwargs=None,
+                    fixed_cells=None):
     """Log the d4rl antmaze stream: 29-dim obs, sparse reward, timeout
-    boundaries every `episode_len` steps (episode-contiguous, env-major)."""
+    boundaries every `episode_len` steps (episode-contiguous, env-major).
+
+    With `fixed_cells` (d4rl's non-diverse recipe) every episode runs the
+    pinned eval task and TERMINATES on goal reach; the env's sparse reward
+    is then exactly the d4rl-relabeled reward and `terminals` records the
+    goal-reach transitions. Without it, goals resample randomly (diverse
+    recipe) and rewards/terminals must be relabeled afterwards against the
+    fixed eval goal (`relabel_fixed_goal`)."""
     import gymnasium as gym
 
     from cleandiffuser_tpu.utils.sac import NumpyActor
 
     pi = NumpyActor(actor_params)
     rng = np.random.default_rng(seed + 7)
-    envs, obs = make_envs(gym_id, n_envs, seed + 1000, mk_kwargs)
+    envs, obs = make_envs(gym_id, n_envs, seed + 1000, mk_kwargs,
+                          fixed_cells=fixed_cells)
     navs = [Navigator(planner) for _ in range(n_envs)]
     per = n_steps // n_envs
     cols = {k: np.zeros((n_envs, per) + s, np.float32) for k, s in
@@ -301,7 +350,12 @@ def rollout_dataset(gym_id, planner, actor_params, n_steps, seed=0,
             # goal-reaching transition itself carries the 1; the goal is
             # then resampled by reset_target and navigation continues)
             cols["rewards"][i, j] = float(rew[i])
-            cols["terminals"][i, j] = 0.0  # antmaze has no MDP terminals
+            # fixed-task episodes terminate on goal reach (continuing_task
+            # =False) — record it so TD targets stop bootstrapping there,
+            # matching d4rl's relabeled terminals. Diverse streams have no
+            # MDP terminals until relabel_fixed_goal sets them.
+            cols["terminals"][i, j] = (float(term[i])
+                                       if fixed_cells is not None else 0.0)
             # fold the env's own truncation in too: if a gym id ever
             # registers max_episode_steps != episode_len, the autoreset
             # boundary must still be flagged or to_qlearning would keep a
@@ -342,6 +396,30 @@ def to_qlearning(data):
     }
 
 
+def relabel_fixed_goal(data, goal_xy, radius=GOAL_RADIUS):
+    """Relabel a random-goal (diverse) stream against the FIXED eval goal.
+
+    d4rl's antmaze datasets carry rewards relative to the fixed evaluation
+    target, not the random goals the collection policy chased (d4rl
+    relabels during generation) — that is the entire learning signal for
+    offline RL, since the 29-dim obs has no goal. reward[j] = 1 iff the
+    post-step position (obs[j+1] xy, same episode) is within `radius` of
+    `goal_xy`; terminals mirror rewards (reaching the eval goal ends the
+    eval MDP: the eval env runs continuing_task=False)."""
+    xy = data["observations"][:, :2]
+    rew = np.zeros_like(data["rewards"])
+    within = np.linalg.norm(xy - np.asarray(goal_xy, np.float32),
+                            axis=-1) <= radius
+    # post-step position of row j is row j+1's logged (pre-step) position,
+    # valid only when j is not an episode boundary
+    rew[:-1] = within[1:].astype(np.float32)
+    rew[:-1][data["timeouts"][:-1] > 0] = 0.0
+    out = dict(data)
+    out["rewards"] = rew
+    out["terminals"] = rew.copy()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("envs", nargs="+",
@@ -353,6 +431,11 @@ def main():
     ap.add_argument("--success-gate", type=float, default=0.75)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--rollout-only", action="store_true",
+                    help="skip SAC training; load <name>_sac_best.pkl")
+    ap.add_argument("--relabel-only", action="store_true",
+                    help="rewrite rewards/terminals of an existing <name>"
+                         ".npz against the fixed eval goal; no simulation")
     args = ap.parse_args()
 
     import jax
@@ -376,22 +459,47 @@ def main():
         # custom 'c'-cell map the eval env uses (env/d4rl_eval.py)
         mk_kwargs = ({"maze_map": U_MAZE_DIVERSE_MAP}
                      if name == "antmaze-umaze-diverse-v2" else None)
+        goal_cell, reset_cell = ANTMAZE_EVAL_CELLS[name]
         probe = gym.make(gym_id, **(mk_kwargs or {}))
         planner = WaypointPlanner(probe.unwrapped.maze)
+        goal_xy = np.asarray(
+            probe.unwrapped.maze.cell_rowcol_to_xy(np.asarray(goal_cell)),
+            np.float32)
         probe.close()
-        actor, sr = train_sac_navigator(
-            gym_id, planner, seed=args.seed, n_envs=args.n_envs,
-            max_steps=args.max_steps, success_gate=args.success_gate,
-            out_dir=out_dir, name=name, mk_kwargs=mk_kwargs)
-        print(f"[data:{name}] rolling out x{args.rollout_steps} "
-              f"(nav success {sr:.2f})", flush=True)
-        data = rollout_dataset(gym_id, planner, actor, args.rollout_steps,
-                               seed=args.seed, mk_kwargs=mk_kwargs)
+
+        if args.relabel_only:
+            raw = dict(np.load(out_dir / f"{name}.npz"))
+            data = relabel_fixed_goal(raw, goal_xy)
+        else:
+            if args.rollout_only:
+                import pickle
+                with open(out_dir / f"{name}_sac_best.pkl", "rb") as f:
+                    actor, sr = pickle.load(f).actor, float("nan")
+            else:
+                actor, sr = train_sac_navigator(
+                    gym_id, planner, seed=args.seed, n_envs=args.n_envs,
+                    max_steps=args.max_steps,
+                    success_gate=args.success_gate,
+                    out_dir=out_dir, name=name, mk_kwargs=mk_kwargs)
+            # non-diverse d4rl recipe = goal-directed episodes of the eval
+            # task itself (env rewards/terminals already correct); diverse
+            # = random goals everywhere, relabeled afterwards
+            diverse = "diverse" in name
+            print(f"[data:{name}] rolling out x{args.rollout_steps} "
+                  f"(nav success {sr:.2f}, "
+                  f"{'diverse' if diverse else 'fixed-task'})", flush=True)
+            data = rollout_dataset(
+                gym_id, planner, actor, args.rollout_steps,
+                seed=args.seed, mk_kwargs=mk_kwargs,
+                fixed_cells=None if diverse else (goal_cell, reset_cell))
+            if diverse:
+                data = relabel_fixed_goal(data, goal_xy)
         np.savez_compressed(out_dir / f"{name}.npz", **data)
         np.savez_compressed(out_dir / f"{name}.qlearning.npz",
                             **to_qlearning(data))
         print(f"[data] wrote {name}: {data['rewards'].shape[0]} steps, "
-              f"success frac {data['rewards'].mean():.4f}", flush=True)
+              f"success frac {data['rewards'].mean():.4f}, "
+              f"terminal frac {data['terminals'].mean():.4f}", flush=True)
 
 
 if __name__ == "__main__":
