@@ -40,15 +40,13 @@ class ReplayBuffer:
     @classmethod
     def copy_from_path(cls, zarr_path: str, keys: Optional[Sequence[str]] = None) -> "ReplayBuffer":
         """Load a diffusion_policy-format zarr store into memory
-        (reference replay_buffer.py:212). Requires zarr."""
-        try:
-            import zarr
-        except ImportError as e:
-            raise ImportError(
-                "zarr is not available in this environment; use "
-                "ReplayBuffer.create_from_data or .npz archives instead"
-            ) from e
-        group = zarr.open(zarr_path, "r")
+        (reference replay_buffer.py:212). Uses the zarr package when
+        installed; otherwise the built-in pure-numpy zarr-v2 directory
+        reader (zarr_compat — null/zlib/gzip compressors; blosc stores
+        raise with a pointer to tools/convert_pusht_zarr.py)."""
+        from .zarr_compat import open_zarr
+
+        group = open_zarr(zarr_path)
         keys = keys if keys is not None else list(group["data"].keys())
         data = {k: np.asarray(group["data"][k]) for k in keys}
         episode_ends = np.asarray(group["meta"]["episode_ends"])

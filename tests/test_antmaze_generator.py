@@ -67,9 +67,39 @@ def test_navigator_replans_on_goal_change():
     nav.waypoint(xy, g2)
     assert not np.allclose(nav.goal, g1)
     assert len(nav.wps) <= n_wps  # fresh plan toward the nearer goal
-    # same goal again: no replan object churn beyond waypoint popping
-    assert np.allclose(nav.waypoint(xy, g2), nav.wps[0])
     del wp1
+
+
+def test_navigator_carrot_keeps_commanded_vector_large():
+    """The carrot target sits LOOKAHEAD metres along the path — never the
+    raw next waypoint (whose approach shrinks the commanded vector to ~0
+    and stalls the gait) — and clamps to the goal at the path's end."""
+    from tools.make_antmaze_dataset import LOOKAHEAD
+
+    planner = WaypointPlanner(_FakeMaze())
+    nav = Navigator(planner)
+    xy = planner.cell_to_xy((3, 1))          # (-4, -4)
+    goal = planner.cell_to_xy((3, 3))        # (4, -4): straight corridor
+    tgt = nav.waypoint(xy, goal)
+    assert np.allclose(tgt, xy + [LOOKAHEAD, 0.0])   # carrot, not (0,-4)
+    # 1m from the goal: carrot clamps to the goal point itself
+    near = goal - np.array([1.0, 0.0], np.float32)
+    tgt = nav.waypoint(near, goal)
+    assert np.allclose(tgt, goal)
+
+
+def test_stuck_tracker_flags_parked_envs_only():
+    from tools.make_antmaze_dataset import StuckTracker
+
+    tr = StuckTracker(2, window=5, min_move=0.5)
+    moving = np.array([0.0, 0.0], np.float32)
+    for t in range(5):
+        xy = np.stack([[0.2 * (t + 1), 0.0],       # env0 walks
+                       [moving[0], moving[1]]])     # env1 parked
+        stuck = tr.update(xy.astype(np.float32))
+    assert stuck.tolist() == [False, True]
+    # after the flag the tracker re-anchors: no immediate re-flag
+    assert tr.update(xy.astype(np.float32)).tolist() == [False, False]
 
 
 def test_unhealthy_flags_flipped_torso_z():

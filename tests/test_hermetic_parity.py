@@ -15,6 +15,12 @@ import jax
 import numpy as np
 import pytest
 
+# Every test here trains at least one policy to a learning threshold —
+# minutes each, the bulk of the suite's wall clock. Slow tier: excluded
+# from the default `pytest tests/` run (pyproject addopts), executed by
+# the score-suite chain via `pytest tests/ -m slow`.
+pytestmark = pytest.mark.slow
+
 from cleandiffuser_tpu.dataset.d4rl_mujoco import (
     D4RLMuJoCoDataset,
     D4RLMuJoCoTDDataset,

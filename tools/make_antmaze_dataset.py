@@ -42,8 +42,9 @@ from cleandiffuser_tpu.env.d4rl_eval import (ANTMAZE_EVAL_CELLS,
 
 OBS27 = 27       # qpos[2:] (13) + qvel (14); v5 appends contact forces
 WAYPOINT_RADIUS = 1.0   # advance to next waypoint within this distance
+LOOKAHEAD = 2.5  # carrot target distance along the path (see Navigator)
 GOAL_RADIUS = 0.45      # d4rl success threshold
-POLICY_OBS = OBS27 + 2  # + relative waypoint xy
+POLICY_OBS = OBS27 + 2  # + relative carrot-target xy
 
 
 # ---------------------------------------------------------------------------
@@ -101,7 +102,15 @@ class Navigator:
     ant teleports (an episode reset — with a FIXED goal the goal-change
     trigger alone would leave the new episode on the old, fully-popped
     path and the policy beelining into walls; normal steps move <0.2m, a
-    reset jumps several meters)."""
+    reset jumps several meters).
+
+    `waypoint` returns a CARROT target: the point LOOKAHEAD metres ahead
+    of the ant along the remaining piecewise path, not the raw next
+    waypoint. Raw waypoints shrink the commanded vector to ~0 on every
+    approach, so the policy decelerates 8 times per maze traverse (and a
+    700-step d4rl eval budget only fits the traverse at sustained speed);
+    a constant-magnitude carrot keeps it at full gait and cuts corners
+    smoothly. Near the path end the carrot clamps to the goal point."""
 
     TELEPORT = 2.0
 
@@ -121,7 +130,48 @@ class Navigator:
         while len(self.wps) > 1 and (
                 np.linalg.norm(xy - self.wps[0]) < WAYPOINT_RADIUS):
             self.wps.pop(0)
-        return self.wps[0]
+        # carrot: LOOKAHEAD metres ahead along [xy | remaining waypoints]
+        rem = LOOKAHEAD
+        a = xy
+        for b in self.wps:
+            seg = float(np.linalg.norm(b - a))
+            if rem <= seg:
+                return (a + (b - a) * (rem / max(seg, 1e-9))).astype(
+                    np.float32)
+            rem -= seg
+            a = b
+        return np.asarray(self.wps[-1], np.float32)
+
+
+class StuckTracker:
+    """Movement watchdog: flags envs that moved < `min_move` over the last
+    `window` steps. The SAC ant has rest-point attractors (e.g. a z≈0.38
+    crouch the flip detector's z<0.2 band misses) where the deterministic
+    policy freezes forever; training treats a stuck flag like a flip
+    (terminate + reset, so SAC learns the state has zero value) and
+    rollout/eval responds with a random-action kick."""
+
+    def __init__(self, n, window=40, min_move=0.5):
+        self.window, self.min_move = window, min_move
+        self.count = np.zeros(n, np.int64)
+        self.anchor = None
+
+    def update(self, xy):
+        if self.anchor is None:
+            self.anchor = xy.copy()
+        self.count += 1
+        moved = (np.linalg.norm(xy - self.anchor, axis=-1)
+                 >= self.min_move)
+        stuck = (self.count >= self.window) & ~moved
+        renew = moved | (self.count >= self.window)
+        self.anchor[renew] = xy[renew]
+        self.count[renew] = 0
+        return stuck
+
+    def reset(self, i, xy_i):
+        if self.anchor is not None:
+            self.anchor[i] = xy_i
+        self.count[i] = 0
 
 
 # ---------------------------------------------------------------------------
@@ -190,8 +240,11 @@ def policy_obs(obs_dict):
 
 
 def navigate_eval(gym_id, planner, actor_params, episodes=8, seed=0,
-                  max_steps=700, mk_kwargs=None):
-    """Deterministic-policy full-maze navigation success rate."""
+                  max_steps=700, mk_kwargs=None, fixed_cells=None):
+    """Deterministic-policy navigation success rate (+ random-action kicks
+    out of stuck states). With `fixed_cells` this is THE metric that
+    matters: the full pinned d4rl traverse within the d4rl step budget —
+    random short goal-reaches can gate 1.00 while the long task sits at 0."""
     import gymnasium as gym
     import gymnasium_robotics  # noqa: F401
 
@@ -199,15 +252,27 @@ def navigate_eval(gym_id, planner, actor_params, episodes=8, seed=0,
 
     pi = NumpyActor(actor_params)
     env = gym.make(gym_id, continuing_task=False, **(mk_kwargs or {}))
+    if fixed_cells is not None:
+        env.unwrapped.position_noise_range = 0.0
+        env = _pin_task(env, fixed_cells)
+    rng = np.random.default_rng(seed + 31)
     succ = 0
     for ep in range(episodes):
         o, _ = env.reset(seed=seed + ep)
         nav = Navigator(planner)
+        stuck = StuckTracker(1)
+        kick = 0
         for t in range(max_steps):
             xy = o["achieved_goal"].astype(np.float32)
             wp = nav.waypoint(xy, o["desired_goal"].astype(np.float32))
-            pin = np.concatenate([o["observation"][:OBS27], wp - xy])
-            a = pi(pin[None].astype(np.float32))[0]
+            if stuck.update(xy[None])[0]:
+                kick = 10
+            if kick > 0:
+                a = rng.uniform(-1, 1, 8).astype(np.float32)
+                kick -= 1
+            else:
+                pin = np.concatenate([o["observation"][:OBS27], wp - xy])
+                a = pi(pin[None].astype(np.float32))[0]
             o, r, te, tr, info = env.step(a)
             if info.get("success", False) or r > 0:
                 succ += 1
@@ -222,7 +287,7 @@ def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
                         max_steps=3_000_000, warmup=20_000,
                         eval_every=50_000, success_gate=0.75,
                         out_dir=Path("dev/d4rl"), name="antmaze",
-                        mk_kwargs=None):
+                        mk_kwargs=None, eval_cells=None):
     from cleandiffuser_tpu.utils.sac import SAC, DeviceCollector
 
     envs, obs = make_envs(gym_id, n_envs, seed, mk_kwargs)
@@ -231,6 +296,7 @@ def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
     host_rng = np.random.default_rng(seed)
     env_ids = np.arange(n_envs, dtype=np.int32)
     navs = [Navigator(planner) for _ in range(n_envs)]
+    stuck_tr = StuckTracker(n_envs)
 
     def build_pin(obs):
         xy = obs["achieved_goal"].astype(np.float32)
@@ -253,20 +319,26 @@ def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
         nobs, rew, term, trunc, info = envs.step(act)
         # env term is always False under continuing_task; detect flips from
         # the obs so a flip costs the episode (term cuts the bootstrap,
-        # which SAC learns to avoid) instead of logging junk until timeout
-        flipped = unhealthy(nobs)
-        # dense waypoint-progress reward + survival, from the PRE-reset
-        # positions (term=1 cuts the bootstrap for flipped envs, so their
-        # post-reset next_obs is never used as a target)
-        d_now = np.linalg.norm(nobs["achieved_goal"].astype(np.float32)
-                               - wps, axis=-1)
+        # which SAC learns to avoid) instead of logging junk until timeout.
+        # Stuck rest-points (no movement for a window) terminate the same
+        # way: their value goes to ~0, so the policy learns to stay in
+        # motion instead of parking in the z≈0.38 crouch attractor.
+        nxy_now = nobs["achieved_goal"].astype(np.float32)
+        flipped = unhealthy(nobs) | stuck_tr.update(nxy_now)
+        # dense carrot-progress reward + small survival bonus, from the
+        # PRE-reset positions (term=1 cuts the bootstrap for flipped envs,
+        # so their post-reset next_obs is never used as a target). The
+        # survival term stays well below typical progress (full gait is
+        # ~0.9/step at x10) so loitering is never competitive.
+        d_now = np.linalg.norm(nxy_now - wps, axis=-1)
         d_prev = np.linalg.norm(xy - wps, axis=-1)
-        shaped = (d_prev - d_now) * 10.0 + 0.5
+        shaped = (d_prev - d_now) * 10.0 + 0.25
         for i in np.nonzero(flipped)[0]:
             o_i, _ = envs.envs[i].reset()
             for k in nobs:
                 nobs[k][i] = o_i[k]
             navs[i] = Navigator(planner)
+            stuck_tr.reset(i, o_i["achieved_goal"].astype(np.float32))
         npin, nxy, nwps = build_pin(nobs)
         done = np.logical_or(flipped, trunc)
         valid = ~prev_done
@@ -281,7 +353,7 @@ def train_sac_navigator(gym_id, planner, seed=0, n_envs=64,
         steps += n_envs
         if steps % eval_every < n_envs and steps >= warmup:
             sr = navigate_eval(gym_id, planner, sac.snapshot_actor(),
-                               seed=seed + 99, mk_kwargs=mk_kwargs)
+                               seed=seed + 99, fixed_cells=eval_cells)
             sps = steps / max(time.time() - t0, 1e-9)
             print(f"[antmaze-sac:{name}] {steps} steps ({sps:.0f}/s) "
                   f"nav success={sr:.2f}", flush=True)
@@ -319,6 +391,8 @@ def rollout_dataset(gym_id, planner, actor_params, n_steps, seed=0,
     envs, obs = make_envs(gym_id, n_envs, seed + 1000, mk_kwargs,
                           fixed_cells=fixed_cells)
     navs = [Navigator(planner) for _ in range(n_envs)]
+    stuck_tr = StuckTracker(n_envs)
+    kick = np.zeros((n_envs,), np.int64)
     per = n_steps // n_envs
     cols = {k: np.zeros((n_envs, per) + s, np.float32) for k, s in
             (("observations", (29,)), ("actions", (8,)), ("rewards", ()),
@@ -333,6 +407,14 @@ def rollout_dataset(gym_id, planner, actor_params, n_steps, seed=0,
                         for i in range(n_envs)])
         pin = np.concatenate([policy_obs(obs), wps - xy], -1)
         act = pi(pin, rng)
+        # random-action kicks out of stuck rest-points (the kicks are
+        # logged as data — behavior noise, exactly like d4rl's streams)
+        kick[stuck_tr.update(xy)] = 10
+        kicked = kick > 0
+        if kicked.any():
+            act[kicked] = rng.uniform(
+                -1, 1, (int(kicked.sum()), 8)).astype(np.float32)
+            kick[kicked] -= 1
         nobs, rew, term, trunc, _ = envs.step(act)
         age += 1
         timeout = age >= episode_len
@@ -433,6 +515,11 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--rollout-only", action="store_true",
                     help="skip SAC training; load <name>_sac_best.pkl")
+    ap.add_argument("--train-only", action="store_true",
+                    help="train + save the SAC navigator, write no data "
+                         "(rollouts are host-numpy: run them on CPU later "
+                         "with --rollout-only while the chip does other "
+                         "work)")
     ap.add_argument("--relabel-only", action="store_true",
                     help="rewrite rewards/terminals of an existing <name>"
                          ".npz against the fixed eval goal; no simulation")
@@ -480,7 +567,12 @@ def main():
                     gym_id, planner, seed=args.seed, n_envs=args.n_envs,
                     max_steps=args.max_steps,
                     success_gate=args.success_gate,
-                    out_dir=out_dir, name=name, mk_kwargs=mk_kwargs)
+                    out_dir=out_dir, name=name, mk_kwargs=mk_kwargs,
+                    # gate on the PINNED eval traverse (standard map),
+                    # never on random — often short — goal-reaches
+                    eval_cells=(goal_cell, reset_cell))
+                if args.train_only:
+                    continue
             # non-diverse d4rl recipe = goal-directed episodes of the eval
             # task itself (env rewards/terminals already correct); diverse
             # = random goals everywhere, relabeled afterwards
