@@ -109,8 +109,13 @@ class KitchenScripter:
         self.last_obs = obs
         self.I[:] = 0.0
         self.steps = 0
+        self.task_reward = 0.0
         self.done = False
         self.trace = []
+        # home wrist orientation must come from the POST-reset state: at
+        # construction time a shared env still holds the previous
+        # episode's final pose, and every script's Rdes derives from R0
+        self.R0 = self.d.site_xmat[self.sid].reshape(3, 3).copy()
         return obs
 
     # -- IK --------------------------------------------------------------
@@ -233,10 +238,16 @@ class KitchenScripter:
         Rf = lambda: Rg
         jit = self.jit()
         bar = lambda: kq() + np.array([-0.004, -0.002, 0.259])
-        self.servo(lambda: bar() + np.array([0.0, -0.12, 0.04]) + jit,
-                   Rf, 1.0, 70, tol=0.025)
-        self.servo(bar, Rf, 1.0, 40, tol=0.013)
-        self.hold_close(Rf, 10)
+        for _ in range(2):  # one grasp retry if the fingers closed on air
+            self.servo(lambda: bar() + np.array([0.0, -0.12, 0.04]) + jit,
+                       Rf, 1.0, 70, tol=0.025)
+            self.servo(bar, Rf, 1.0, 40, tol=0.013)
+            self.hold_close(Rf, 10)
+            if float(self.d.qpos[7] + self.d.qpos[8]) > 0.012:
+                break  # bar between the fingers
+            # closed on air: reopen above the bar and re-approach
+            self.servo(lambda: bar() + np.array([0.0, -0.10, 0.06]),
+                       Rf, 1.0, 15, tol=0.03)
         self.servo(lambda: np.array([-0.25, 0.40, 2.05]), Rf, -1.0, 40,
                    tol=0.03)
         goal = np.array([-0.234, 0.745, 2.02]) + self.jit()

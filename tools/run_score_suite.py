@@ -172,6 +172,14 @@ JOBS = [
                  ["mode=reflow", "reflow_backbone_ckpt=latest",
                   "reflow_gradient_steps=250000"]],
          extra_infer=["test_model=R2", "diffusion_ckpt=latest"]),
+    # --- kitchen (dataset from tools/make_kitchen_dataset.py: scripted
+    # IK demonstrator on FrankaKitchen, d4rl-mixed regime) ---
+    dict(name="dd_kitchen_mixed", cli="pipelines/dd_d4rl_kitchen.py",
+         task="kitchen-mixed-v0", steps_key="diffusion_gradient_steps",
+         steps=1_000_000, extra_train=["invdyn_gradient_steps=200000"]),
+    dict(name="dql_kitchen_mixed", cli="pipelines/dql_d4rl_kitchen.py",
+         task="kitchen-mixed-v0", steps_key="gradient_steps",
+         steps=1_000_000),
     dict(name="adaptdiffuser_hc_medium",
          cli="pipelines/adaptdiffuser_d4rl_mujoco.py",
          task="halfcheetah-medium-v2", steps=500_000,
