@@ -397,26 +397,16 @@ def extended_benches(floor):
         out["pallas_dit_bench_error"] = str(e)[:160]
 
     # --- parallel-in-time DDIM (Picard sweeps, arXiv:2305.16317) vs
-    # sequential DDIM at real-time planner scale (batch = 50 envs, no
-    # candidate pool): sequential depth 20 -> 6, each sweep a 20x-wider
-    # MXU batch. Reports the latency ratio + the deviation from the
-    # sequential solution at the benched iteration count. ---
+    # sequential DDIM. ParaDiGMS wins when each sequential step UNDERFILLS
+    # the chip (latency-bound, compute-rich): the sweep trades 20 tiny
+    # calls for 6 calls each 20x wider. Bench three regimes: the r3
+    # planner batch (50 envs, depth-2 DD planner — each step already wide,
+    # expected LOSS), and single/small-batch deep-DiT real-time control
+    # (batch 1 / 4, d384x12 — the paper's setting). ---
     try:
         from cleandiffuser_tpu.diffusion import DiscreteDiffusionSDE as DDS
 
-        eng_p = DDS(
-            DiT1d(in_dim=17, emb_dim=128, d_model=320, n_heads=10, depth=2,
-                  timestep_emb_type="fourier"),
-            diffusion_steps=20, rng=0)
-        prior_p = jnp.zeros((50, 32, 17))
-        eng_p.init(prior_p)
-        seq_fn = eng_p.build_sample_fn(
-            solver="ddim", sample_steps=20, cfg_mode="uncond",
-            final_logp=False)
-        par_fn = eng_p.build_parallel_sample_fn(
-            sample_steps=20, picard_iters=6)
-
-        def run_repeat(fn_call, reps):
+        def run_repeat(eng_p, fn_call, reps):
             @jax.jit
             def run_many(params, r):
                 def body(carry, _):
@@ -432,20 +422,35 @@ def extended_benches(floor):
                                jax.random.PRNGKey(0), n_warmup=1, n_iters=3)
                        - floor, 1e-7) / reps
 
-        t_seq = run_repeat(
-            lambda p, k: seq_fn(p, None, k, prior_p)[0], 20)
-        t_par = run_repeat(
-            lambda p, k: par_fn(p, k, prior_p)[0], 20)
-        x_s = seq_fn(eng_p.state.ema_params, None, jax.random.PRNGKey(1),
-                     prior_p)[0]
-        x_p = par_fn(eng_p.state.ema_params, jax.random.PRNGKey(1),
-                     prior_p)[0]
-        dev = float(jnp.max(jnp.abs(x_p - x_s))
-                    / jnp.maximum(jnp.max(jnp.abs(x_s)), 1e-6))
-        out["picard_ddim_seq_ms"] = round(t_seq * 1e3, 3)
-        out["picard_ddim_par6_ms"] = round(t_par * 1e3, 3)
-        out["picard_ddim_latency_speedup"] = round(t_seq / t_par, 3)
-        out["picard_ddim_rel_deviation"] = round(dev, 4)
+        for tag, B, depth, dm, nh in (("", 50, 2, 320, 10),
+                                      ("_b1_deep", 1, 12, 384, 6),
+                                      ("_b4_deep", 4, 12, 384, 6)):
+            eng_p = DDS(
+                DiT1d(in_dim=17, emb_dim=128, d_model=dm, n_heads=nh,
+                      depth=depth, timestep_emb_type="fourier"),
+                diffusion_steps=20, rng=0)
+            prior_p = jnp.zeros((B, 32, 17))
+            eng_p.init(prior_p)
+            seq_fn = eng_p.build_sample_fn(
+                solver="ddim", sample_steps=20, cfg_mode="uncond",
+                final_logp=False)
+            par_fn = eng_p.build_parallel_sample_fn(
+                sample_steps=20, picard_iters=6)
+            t_seq = run_repeat(
+                eng_p, lambda p, k: seq_fn(p, None, k, prior_p)[0], 20)
+            t_par = run_repeat(
+                eng_p, lambda p, k: par_fn(p, k, prior_p)[0], 20)
+            x_s = seq_fn(eng_p.state.ema_params, None,
+                         jax.random.PRNGKey(1), prior_p)[0]
+            x_p = par_fn(eng_p.state.ema_params, jax.random.PRNGKey(1),
+                         prior_p)[0]
+            dev = float(jnp.max(jnp.abs(x_p - x_s))
+                        / jnp.maximum(jnp.max(jnp.abs(x_s)), 1e-6))
+            out[f"picard_ddim{tag}_seq_ms"] = round(t_seq * 1e3, 3)
+            out[f"picard_ddim{tag}_par6_ms"] = round(t_par * 1e3, 3)
+            out[f"picard_ddim{tag}_latency_speedup"] = round(
+                t_seq / t_par, 3)
+            out[f"picard_ddim{tag}_rel_deviation"] = round(dev, 4)
     except Exception as e:
         out["picard_bench_error"] = str(e)[:160]
 
