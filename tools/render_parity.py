@@ -49,6 +49,18 @@ ROWS = {
     "idql_antmaze_umaze": ("IDQL", "~0.57-0.94"),
     "dql_antmaze_umaze_div": ("DQL", "~0.55-0.66"),
     "dql_walker2d_medium_2m": ("DQL (2M steps)", "~0.82-0.87"),
+    # family-coverage rows (one real-data row per remaining algorithm
+    # family; bands from the original papers' hc-medium-v2 entries)
+    "sfbc_hc_medium": ("SfBC", "~0.43-0.48"),
+    "qgpo_hc_medium": ("QGPO", "~0.48-0.55"),
+    "synther_hc_medium": ("SynthER + TD3BC", "~0.48-0.55"),
+    "diffuserlite_hc_medium": ("DiffuserLite (R2 reflow)", "~0.44-0.48"),
+    "adaptdiffuser_hc_medium": ("AdaptDiffuser", "~0.42-0.47"),
+    # kitchen rows: read against the scripted-demonstrator ceiling
+    # (PARITY.md caveats — behavior data means 1.45/4 per episode), not
+    # only the human-demo bands quoted here
+    "dd_kitchen_mixed": ("Decision Diffuser", "~0.50-0.65 (human demos)"),
+    "dql_kitchen_mixed": ("DQL", "~0.55-0.65 (human demos)"),
 }
 
 BEGIN, END = "<!-- tier1:begin -->", "<!-- tier1:end -->"
