@@ -80,16 +80,21 @@ def round_trip_floor():
 PEAK_FLOPS = {"tpu": 1.97e14}
 
 
-def flops_of(fn, *args) -> float:
-    """XLA-reported flops of one call of `fn` (compiled cost analysis)."""
+def cost_of(fn, *args):
+    """XLA-reported (flops, bytes accessed) of one call (cost analysis)."""
     try:
         c = jax.jit(fn).lower(*args).compile()
         ca = c.cost_analysis()
         if isinstance(ca, list):  # older jax returns [dict]
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return float(ca.get("flops", 0.0)), float(
+            ca.get("bytes accessed", 0.0))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
+
+
+def flops_of(fn, *args) -> float:
+    return cost_of(fn, *args)[0]
 
 
 def mfu_pct(flops_per_call: float, sec_per_call: float):
@@ -97,6 +102,23 @@ def mfu_pct(flops_per_call: float, sec_per_call: float):
     if not peak or not flops_per_call or sec_per_call <= 0:
         return None
     return round(100.0 * flops_per_call / sec_per_call / peak, 2)
+
+
+# v5e HBM bandwidth; with PEAK_FLOPS this turns raw MFU into a roofline
+# position: small-model RL workloads are BANDWIDTH/overhead-bound, so %
+# of roofline (max of compute-time and memory-time over measured time) is
+# the honest utilization number — single-digit MFU on an MLP policy can
+# still be near its roofline.
+PEAK_BW = {"tpu": 8.19e11}
+
+
+def roofline_pct(flops: float, bytes_: float, sec: float):
+    pf = PEAK_FLOPS.get(jax.devices()[0].platform)
+    pb = PEAK_BW.get(jax.devices()[0].platform)
+    if not pf or not pb or sec <= 0 or (not flops and not bytes_):
+        return None
+    t_floor = max(flops / pf, bytes_ / pb)
+    return round(100.0 * t_floor / sec, 2)
 
 
 def bench_planner(name, nn_diffusion, x_shape, batch, steps, repeat=10,
@@ -126,7 +148,7 @@ def bench_planner(name, nn_diffusion, x_shape, batch, steps, repeat=10,
     # clamp: tiny fused programs can measure below the tunnel floor
     t = max(time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
                     n_warmup=1, n_iters=3) - floor, 1e-7) / repeat
-    fl = flops_of(
+    fl, by = cost_of(
         lambda p, r: sample_fn(p, None, r, prior)[0].sum(),
         engine.state.ema_params, jax.random.PRNGKey(0),
     )
@@ -135,6 +157,9 @@ def bench_planner(name, nn_diffusion, x_shape, batch, steps, repeat=10,
     m = mfu_pct(fl, t)
     if m is not None:
         out[f"{name}_mfu_pct"] = m
+    r = roofline_pct(fl, by, t)
+    if r is not None:
+        out[f"{name}_roofline_pct"] = r
     return out
 
 
@@ -170,7 +195,7 @@ def bench_sampler_family(name, engine, sample_kwargs, prior, floor,
             break  # keep reps == what `total` was measured at
         reps *= 10
     t = max(total - floor, 1e-7) / reps
-    fl = flops_of(
+    fl, by = cost_of(
         lambda p, r: sample_fn(p, None, r, prior, **kw)[0].sum(),
         engine.state.ema_params, jax.random.PRNGKey(0),
     )
@@ -180,6 +205,9 @@ def bench_sampler_family(name, engine, sample_kwargs, prior, floor,
     m = mfu_pct(fl, t)
     if m is not None:
         out[f"{name}_mfu_pct"] = m
+    r = roofline_pct(fl, by, t)
+    if r is not None:
+        out[f"{name}_roofline_pct"] = r
     return out
 
 
@@ -269,13 +297,16 @@ def extended_benches(floor):
         raw = pipe.agent._make_update_fn(update_ema=True, has_wrt=False)
         raw = raw.__wrapped__ if hasattr(raw, "__wrapped__") else raw
         batch = ds.sample_batch(jax.random.PRNGKey(2), 256)
-        fl = flops_of(
+        fl, by = cost_of(
             lambda s, x, c: raw(s, x, c, None)[1]["loss"],
             pipe.agent.state, batch["action"],
             batch["obs"]["state"][:, :2, :])
         m = mfu_pct(fl, t)
         if m is not None:
             out["dp_chiunet_train_mfu_pct"] = m
+        r = roofline_pct(fl, by, t)
+        if r is not None:
+            out["dp_chiunet_train_roofline_pct"] = r
 
         # bf16_training variant (fresh pipe: the flag keys no cache)
         try:
@@ -350,11 +381,14 @@ def extended_benches(floor):
         _ = float(l)
         t = (time.perf_counter() - t0 - floor) / N
         out["dd_dit_train_steps_per_sec"] = round(1.0 / t, 1)
-        fl = flops_of(
+        fl, by = cost_of(
             lambda s, x: raw(s, x, None, None)[1]["loss"], dit.state, x_ex)
         m = mfu_pct(fl, t)
         if m is not None:
             out["dd_dit_train_mfu_pct"] = m
+        r = roofline_pct(fl, by, t)
+        if r is not None:
+            out["dd_dit_train_roofline_pct"] = r
     except Exception as e:
         out["dd_train_bench_error"] = str(e)[:160]
 
@@ -560,7 +594,7 @@ def main():
     from cleandiffuser_tpu.nn_diffusion import DiT1d, JannerUNet1d
 
     planner_detail = {}
-    fl_dql = flops_of(
+    fl_dql, by_dql = cost_of(
         lambda p, r: sample_fn(p, None, r, prior, condition_cfg=obs,
                                w_cfg=1.0)[0].sum(),
         engine.state.ema_params, rng,
@@ -568,6 +602,9 @@ def main():
     m = mfu_pct(fl_dql, t_fused)
     if m is not None:
         planner_detail["dql_sampling_mfu_pct"] = m
+    r = roofline_pct(fl_dql, by_dql, t_fused)
+    if r is not None:
+        planner_detail["dql_sampling_roofline_pct"] = r
     try:
         planner_detail.update(extended_benches(floor))
     except Exception as e:
