@@ -63,6 +63,26 @@ def test_to_qlearning_drops_both_boundary_kinds():
     assert 6.0 not in starts and 10.0 not in starts and 14.0 not in starts
 
 
+def test_densify_rewards_matches_d4rl_latched_count():
+    """Dataset rewards follow d4rl's stored-hdf5 kitchen semantics:
+    rewards[t] = tasks completed so far in the episode (latched count),
+    resetting at every episode boundary (terminal OR timeout)."""
+    from tools.make_kitchen_dataset import densify_rewards
+
+    data = {
+        "observations": np.zeros((8, 2), np.float32),
+        "actions": np.zeros((8, 1), np.float32),
+        #          ep0: r=[0,1,0,1] -> dense [0,1,1,2]; ep1: [1,0] -> [1,1]
+        "rewards": np.array([0, 1, 0, 1, 1, 0, 0, 1], np.float32),
+        "terminals": np.array([0, 0, 0, 1, 0, 0, 0, 0], np.float32),
+        "timeouts": np.array([0, 0, 0, 0, 0, 1, 0, 0], np.float32),
+    }
+    out = densify_rewards(data)
+    assert out["rewards"].tolist() == [0, 1, 1, 2, 1, 1, 0, 1]
+    # idempotence guard: input data untouched
+    assert data["rewards"].tolist() == [0, 1, 0, 1, 1, 0, 0, 1]
+
+
 @pytest.mark.slow
 def test_scripted_demonstrator_completes_a_task():
     """One full scripted episode on the real FrankaKitchen sim must

@@ -340,6 +340,30 @@ def rollout_episodes(n_episodes, seed=0, tasks=EVAL_TASKS, noise=0.05,
     return data, np.asarray(completions)
 
 
+def densify_rewards(data):
+    """Convert sparse newly-completed bonuses to d4rl's stored-hdf5 kitchen
+    reward semantics: rewards[t] = number of tasks completed SO FAR in the
+    episode (the latched count — completions persist once achieved), i.e.
+    the per-episode cumulative sum of the sparse bonuses. d4rl's kitchen
+    hdf5 files store this dense count (that is what makes the reference's
+    DD return_scale=400 / target_return=0.85 coherent: ~2-3 tasks held for
+    ~150 remaining steps ≈ 340 discounted return; with sparse ≤4-total
+    rewards the conditioning value would be ~100x out of distribution).
+    The EVAL env still pays the sparse bonus (reference
+    env/kitchen/base.py:87-119 with REMOVE_TASKS_WHEN_COMPLETE), clipped
+    to [0, 4] — only the dataset rewards are dense."""
+    rew = np.asarray(data["rewards"], np.float32)
+    ends = (np.asarray(data["terminals"]) > 0) | (np.asarray(data["timeouts"]) > 0)
+    out = np.empty_like(rew)
+    start = 0
+    for end in np.flatnonzero(ends):
+        out[start:end + 1] = np.cumsum(rew[start:end + 1])
+        start = end + 1
+    if start < len(rew):  # trailing open episode
+        out[start:] = np.cumsum(rew[start:])
+    return {**data, "rewards": out}
+
+
 def to_qlearning(data):
     keep = ~((data["timeouts"][:-1] > 0) | (data["terminals"][:-1] > 0))
     return {
@@ -369,6 +393,7 @@ def main():
 
     data, comp = rollout_episodes(args.episodes, seed=args.seed,
                                   noise=args.noise)
+    data = densify_rewards(data)
     np.savez_compressed(out_dir / f"{args.name}.npz", **data)
     np.savez_compressed(out_dir / f"{args.name}.qlearning.npz",
                         **to_qlearning(data))
