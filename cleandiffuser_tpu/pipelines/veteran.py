@@ -78,6 +78,7 @@ class VeteranPipeline:
         rebase_policy: bool = False,
         mcss_selector: str = "ev",  # ev | critic
         goal_inpaint: bool = False,
+        gi_pin_idx: Optional[int] = None,
         rng: int = 0,
     ):
         assert guidance_type in ("MCSS", "cfg", "cg")
@@ -94,6 +95,16 @@ class VeteranPipeline:
         # collection goals, so value/MCSS ranking alone is goal-agnostic and
         # caps well below the env's expert ceiling; see PARITY.md).
         self.goal_inpaint = goal_inpaint
+        # Where in the plan to pin the goal (gi mode). Default H-1 stretches
+        # the traverse over (H-1)*stride env steps — with maze2d's
+        # horizon 32 x stride 15 that is ~480 steps on a 300-step episode,
+        # so plans dawdle while d4rl's maze2d score counts time-to-first-
+        # reach (the scripted expert reaches in median 69 steps). Pinning
+        # earlier (e.g. 7 ~= 105 steps) demands a time-optimal traverse.
+        if gi_pin_idx is not None:
+            assert 0 < gi_pin_idx < planner_horizon, (
+                f"gi_pin_idx must be in (0, {planner_horizon})")
+        self.gi_pin_idx = gi_pin_idx
         assert pipeline_type in ("separate", "joint")
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.rebase_policy = rebase_policy
@@ -458,12 +469,13 @@ class VeteranPipeline:
         gt = self.guidance_type
 
         eval_fix_mask = None
+        pin = self.gi_pin_idx if self.gi_pin_idx is not None else H - 1
         if with_goal:
-            # pin the plan's final state xy to the goal during denoising
+            # pin the plan's goal-reach xy to the goal during denoising
             # (Diffuser maze2d protocol); training-time mask untouched.
             eval_fix_mask = np.zeros((H, PD), np.float32)
             eval_fix_mask[0, :O] = 1.0
-            eval_fix_mask[-1, :2] = 1.0
+            eval_fix_mask[pin, :2] = 1.0
         planner_sample = self.planner.build_sample_fn(
             solver=self.planner_solver, sample_steps=self.planner_sampling_steps,
             cfg_mode="mix" if gt == "cfg" else "uncond",
@@ -488,7 +500,7 @@ class VeteranPipeline:
                 prior = jnp.zeros((E * K, H, PD)).at[:, 0, :O].set(obs_rep)
                 if goal is not None:
                     goal_rep = jnp.repeat(goal[:, None, :], K, axis=1).reshape(E * K, 2)
-                    prior = prior.at[:, -1, :2].set(goal_rep)
+                    prior = prior.at[:, pin, :2].set(goal_rep)
                 traj, log = planner_sample(
                     planner_params, cls_params, k_plan, prior,
                     w_cg=self.w_cfg if gt == "cg" else 0.0,
@@ -508,7 +520,7 @@ class VeteranPipeline:
                 condition = jnp.ones((E, 1)) * self.target_return
                 prior = jnp.zeros((E, H, PD)).at[:, 0, :O].set(obs)
                 if goal is not None:
-                    prior = prior.at[:, -1, :2].set(goal)
+                    prior = prior.at[:, pin, :2].set(goal)
                 traj, _ = planner_sample(
                     planner_params, None, k_plan, prior,
                     condition_cfg=condition, w_cfg=self.w_cfg,

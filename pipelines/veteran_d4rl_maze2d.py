@@ -65,6 +65,11 @@ def pipeline(args):
         # goal (Diffuser's maze2d protocol) — the reference's MCSS ranking is
         # goal-agnostic on maze2d's roaming-goal data (PARITY.md caveat)
         goal_inpaint=args.get("goal_inpaint", False),
+        # gi_pin_idx=k pins the goal at plan index k (default H-1): d4rl's
+        # maze2d score counts time-to-first-reach, so pinning the goal
+        # (H-1)*stride env steps out makes plans dawdle; earlier pins demand
+        # a time-optimal traverse
+        gi_pin_idx=args.get("gi_pin_idx", None),
         w_cfg=args.task.planner_w_cfg, target_return=args.task.planner_target_return,
         temperature=args.task.planner_temperature, rng=args.seed,
     )

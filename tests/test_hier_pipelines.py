@@ -151,6 +151,31 @@ def test_veteran_goal_inpaint_pins_final_xy():
     assert not np.allclose(np.asarray(traj_free)[:, -1, :2], goal, atol=1e-3)
 
 
+def test_veteran_gi_pin_idx_pins_midplan():
+    """gi_pin_idx=k pins the goal at plan index k instead of H-1 (the d4rl
+    maze2d score counts first-reach time; earlier pins demand a
+    time-optimal traverse) — the tail beyond the pin stays free."""
+    raw = fake_d4rl_dataset(n_steps=1500, ep_len=150)
+    ds = DV_D4RLMuJoCoSeqDataset(raw, horizon=8, max_path_length=150)
+    pipe = VeteranPipeline(
+        obs_dim=ds.o_dim, act_dim=ds.a_dim, planner_horizon=8,
+        guidance_type="MCSS", planner_net="transformer",
+        planner_emb_dim=32, planner_d_model=64,
+        gradient_steps=100, planner_sampling_steps=3, policy_sampling_steps=2,
+        mcss_selector="critic", goal_inpaint=True, gi_pin_idx=3,
+    )
+    rng = jax.random.PRNGKey(0)
+    pipe.train_step(ds.sample_batch(rng, 8), ds.sample_batch(rng, 8))
+    obs = np.random.randn(2, ds.o_dim).astype(np.float32)
+    goal = np.array([[0.5, -0.25], [1.0, 2.0]], np.float32)
+    _, traj = pipe.act(obs, num_candidates=4, rng=jax.random.PRNGKey(3),
+                       goal_normed=goal)
+    traj = np.asarray(traj)
+    np.testing.assert_allclose(traj[:, 3, :2], goal, atol=1e-6)
+    np.testing.assert_allclose(traj[:, 0, : ds.o_dim], obs, atol=1e-6)
+    assert not np.allclose(traj[:, -1, :2], goal, atol=1e-3)
+
+
 def test_eval_loop_threads_goal_normed():
     """d4rl_eval_loop must hand act_fn the per-env goal xy normalized with
     the state normalizer's position dims."""
