@@ -28,3 +28,8 @@ python3 -u tools/run_score_suite.py --force \
   --only dql_hc_medium,idql_hc_medium,edp_hc_medium,dql_hopper_medium,dql_walker2d_medium,idql_hopper_medium,idql_walker2d_medium,dql_hc_medexp,dql_hc_medreplay,dd_hc_medium,diffuser_hc_medium,veteran_maze2d_umaze,veteran_maze2d_umaze_gi,veteran_maze2d_medium,veteran_maze2d_medium_gi \
   >> logs/chain_r4.log 2>&1
 echo "[chain-b] all done $(date)"
+
+python3 -u tools/run_score_suite.py \
+  --only veteran_maze2d_umaze_gi_pin5,veteran_maze2d_umaze_gi_pin9,veteran_maze2d_medium_gi_pin9,veteran_maze2d_medium_gi_pin15,veteran_maze2d_large_gi_pin15 \
+  >> logs/chain_r4.log 2>&1
+echo "[chain-b] gi pin sweep done $(date)"

@@ -139,6 +139,31 @@ JOBS = [
          extra_train=["policy_diffusion_gradient_steps=300000",
                       "invdyn_gradient_steps=150000"],
          extra_infer=["goal_inpaint=true", "num_episodes=4"]),
+    # --- gi pin-index sweep (inference-only: same task dir => train is a
+    # resume no-op on the _gi checkpoints). d4rl maze2d score counts
+    # time-to-first-reach; the default pin at H-1 stretches the traverse
+    # over 31*stride=465 env steps, so earlier pins demand a time-optimal
+    # traverse (veteran.py gi_pin_idx) ---
+    dict(name="veteran_maze2d_umaze_gi_pin5", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-umaze-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_infer=["goal_inpaint=true", "gi_pin_idx=5"]),
+    dict(name="veteran_maze2d_umaze_gi_pin9", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-umaze-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_infer=["goal_inpaint=true", "gi_pin_idx=9"]),
+    dict(name="veteran_maze2d_medium_gi_pin9", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-medium-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_infer=["goal_inpaint=true", "gi_pin_idx=9", "num_episodes=6"]),
+    dict(name="veteran_maze2d_medium_gi_pin15", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-medium-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_infer=["goal_inpaint=true", "gi_pin_idx=15", "num_episodes=6"]),
+    dict(name="veteran_maze2d_large_gi_pin15", cli="pipelines/veteran_d4rl_maze2d.py",
+         task="maze2d-large-v1", steps_key="planner_diffusion_gradient_steps",
+         steps=300_000,
+         extra_infer=["goal_inpaint=true", "gi_pin_idx=15", "num_episodes=4"]),
     # --- extension: walker2d to the full reference 2M-step DQL recipe
     # (resumes the 1M ckpt of dql_walker2d_medium; 0.810 at 1M sits just
     # under the ~0.82-0.87 band) ---
