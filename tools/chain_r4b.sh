@@ -30,6 +30,6 @@ python3 -u tools/run_score_suite.py --force \
 echo "[chain-b] all done $(date)"
 
 python3 -u tools/run_score_suite.py \
-  --only veteran_maze2d_umaze_gi_pin5,veteran_maze2d_umaze_gi_pin9,veteran_maze2d_medium_gi_pin9,veteran_maze2d_medium_gi_pin15,veteran_maze2d_large_gi_pin15 \
+  --only dd_kitchen_mixed_tr068,dd_kitchen_mixed_wcfg2,veteran_maze2d_umaze_gi_pin5,veteran_maze2d_umaze_gi_pin9,veteran_maze2d_medium_gi_pin9,veteran_maze2d_medium_gi_pin15,veteran_maze2d_large_gi_pin15 \
   >> logs/chain_r4.log 2>&1
 echo "[chain-b] gi pin sweep done $(date)"

@@ -205,6 +205,18 @@ JOBS = [
     dict(name="dql_kitchen_mixed", cli="pipelines/dql_d4rl_kitchen.py",
          task="kitchen-mixed-v0", steps_key="gradient_steps",
          steps=1_000_000),
+    # --- DD kitchen conditioning variants (inference-only: same task dir,
+    # train resumes as a no-op). Demonstrator-data dense-val support tops
+    # out at 0.69 of scale; probe the top of the support and a stronger
+    # CFG pull at the default target ---
+    dict(name="dd_kitchen_mixed_tr068", cli="pipelines/dd_d4rl_kitchen.py",
+         task="kitchen-mixed-v0", steps_key="diffusion_gradient_steps",
+         steps=1_000_000, extra_train=["invdyn_gradient_steps=200000"],
+         extra_infer=["task.target_return=0.68"]),
+    dict(name="dd_kitchen_mixed_wcfg2", cli="pipelines/dd_d4rl_kitchen.py",
+         task="kitchen-mixed-v0", steps_key="diffusion_gradient_steps",
+         steps=1_000_000, extra_train=["invdyn_gradient_steps=200000"],
+         extra_infer=["task.w_cfg=2.0"]),
     dict(name="adaptdiffuser_hc_medium",
          cli="pipelines/adaptdiffuser_d4rl_mujoco.py",
          task="halfcheetah-medium-v2", steps=500_000,
