@@ -10,16 +10,19 @@ it).
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.blocks import xavier_uniform_init
 from ..utils.embeddings import mish, sinusoidal_features
 from .base import BaseNNDiffusion, timestep_embedding_module
 
-__all__ = ["DiT1d", "DiT1Ref", "DiTBlock", "PallasDiTBlock", "FinalLayer1d"]
+__all__ = ["DiT1d", "DiT1Ref", "DiTBlock", "PallasDiTBlock", "FinalLayer1d",
+           "convert_checkpoint_blocks"]
 
 zeros_init = nn.initializers.zeros
 normal02 = nn.initializers.normal(stddev=0.02)
@@ -101,6 +104,92 @@ class DiTBlock(nn.Module):
         h2 = nn.Dense(self.hidden_size, kernel_init=xavier_uniform_init)(h2)
         x = x + gate_mlp[:, None, :] * h2
         return x
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-layout conversion: `use_pallas_block` is a pure compute-path
+# choice, but DiTBlock parameterizes via nested flax submodules while
+# PallasDiTBlock uses the kernel's flat weight list. These converters make
+# checkpoints portable across the flag in BOTH directions — the mapping is
+# exact (reshapes/concats only; flax MHA stores q/k/v kernels as
+# (D, heads, head_dim), head-major, which is precisely the kernel's qkv
+# column layout). load_state (utils/train_state.py) applies it on structure
+# mismatch, so Adam moments convert identically (elementwise correspondence
+# is preserved by concat/reshape).
+
+_TO_PALLAS_RE = re.compile(r"^PallasDiTBlock_(\d+)$")
+_TO_NESTED_RE = re.compile(r"^DiTBlock_(\d+)$")
+
+
+def _flat_from_nested(p):
+    """DiTBlock param subtree -> PallasDiTBlock flat subtree (host numpy)."""
+    attn = p["MultiHeadDotProductAttention_0"]
+    D = np.asarray(p["Dense_0"]["kernel"]).shape[0]
+    cat = lambda key, n: np.concatenate(
+        [np.asarray(attn[nm][key]).reshape((D, D) if key == "kernel" else (D,))
+         for nm in ("query", "key", "value")], axis=-1 if key == "kernel" else 0)
+    return {
+        "wmod": np.asarray(p["Dense_0"]["kernel"]),
+        "bmod": np.asarray(p["Dense_0"]["bias"]),
+        "wqkv": cat("kernel", 3),
+        "bqkv": cat("bias", 3),
+        "wo": np.asarray(attn["out"]["kernel"]).reshape(D, D),
+        "bo": np.asarray(attn["out"]["bias"]).reshape(D),
+        "w1": np.asarray(p["Dense_1"]["kernel"]),
+        "b1": np.asarray(p["Dense_1"]["bias"]),
+        "w2": np.asarray(p["Dense_2"]["kernel"]),
+        "b2": np.asarray(p["Dense_2"]["bias"]),
+    }
+
+
+def _nested_from_flat(p, tmpl):
+    """PallasDiTBlock flat subtree -> DiTBlock nested subtree, with leaf
+    shapes taken from the template (`.shape` only — never fetches device
+    arrays through the tunnel)."""
+    wqkv = np.asarray(p["wqkv"])
+    bqkv = np.asarray(p["bqkv"])
+    D = wqkv.shape[0]
+    t_attn = tmpl["MultiHeadDotProductAttention_0"]
+    attn = {}
+    for i, nm in enumerate(("query", "key", "value")):
+        attn[nm] = {
+            "kernel": wqkv[:, i * D:(i + 1) * D].reshape(t_attn[nm]["kernel"].shape),
+            "bias": bqkv[i * D:(i + 1) * D].reshape(t_attn[nm]["bias"].shape),
+        }
+    attn["out"] = {
+        "kernel": np.asarray(p["wo"]).reshape(t_attn["out"]["kernel"].shape),
+        "bias": np.asarray(p["bo"]).reshape(t_attn["out"]["bias"].shape),
+    }
+    return {
+        "Dense_0": {"kernel": np.asarray(p["wmod"]), "bias": np.asarray(p["bmod"])},
+        "MultiHeadDotProductAttention_0": attn,
+        "Dense_1": {"kernel": np.asarray(p["w1"]), "bias": np.asarray(p["b1"])},
+        "Dense_2": {"kernel": np.asarray(p["w2"]), "bias": np.asarray(p["b2"])},
+    }
+
+
+def convert_checkpoint_blocks(host: dict, tmpl: dict) -> dict:
+    """Recursively rebuild `host` (a checkpoint param dict) in the structure
+    of `tmpl`, converting DiTBlock_i <-> PallasDiTBlock_i subtrees wherever
+    the two trees disagree. Raises KeyError if a template subtree has no
+    source in the checkpoint."""
+    out = {}
+    for k, tv in tmpl.items():
+        if k in host:
+            hv = host[k]
+            out[k] = (convert_checkpoint_blocks(hv, tv)
+                      if isinstance(tv, dict) and isinstance(hv, dict) else hv)
+            continue
+        m = _TO_PALLAS_RE.match(k)
+        if m and f"DiTBlock_{m.group(1)}" in host:
+            out[k] = _flat_from_nested(host[f"DiTBlock_{m.group(1)}"])
+            continue
+        m = _TO_NESTED_RE.match(k)
+        if m and f"PallasDiTBlock_{m.group(1)}" in host:
+            out[k] = _nested_from_flat(host[f"PallasDiTBlock_{m.group(1)}"], tv)
+            continue
+        raise KeyError(f"checkpoint has no source for parameter subtree {k!r}")
+    return out
 
 
 class FinalLayer1d(nn.Module):

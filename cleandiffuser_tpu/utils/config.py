@@ -83,13 +83,25 @@ class Config:
         return f"Config({self.to_dict()})"
 
 
-def _set_dotted(cfg: Config, dotted: str, value: Any):
+def _set_dotted(cfg: Config, dotted: str, value: Any, allow_new: bool = False):
     parts = dotted.split(".")
     cur = cfg
+    is_new = False
     for p in parts[:-1]:
-        if p not in cur or not isinstance(cur.get(p), Config):
+        if p not in cur:
+            is_new = True
+            cur[p] = {}
+        elif not isinstance(cur.get(p), Config):
             cur[p] = {}
         cur = cur[p]
+    is_new = is_new or parts[-1] not in cur
+    if is_new and not allow_new:
+        # hydra errors here; we warn loudly but apply — a silent no-op
+        # override (e.g. a mistyped nn_kwargs. prefix) is the failure mode
+        # this guards against
+        print(f"[config] WARNING: override {dotted!r} addresses no existing "
+              f"config key — creating it (use '+{dotted}=...' to add keys "
+              "intentionally)", flush=True)
     cur[parts[-1]] = value
 
 
@@ -139,8 +151,8 @@ def load_config(
 
     for ov in plain_overrides:
         key, _, value = ov.partition("=")
-        key = key.lstrip("+")
-        _set_dotted(cfg, key, yaml.safe_load(value))
+        _set_dotted(cfg, key.lstrip("+"), yaml.safe_load(value),
+                    allow_new=key.startswith("+"))
 
     return cfg
 

@@ -102,17 +102,47 @@ def load_state_orbax(path: str, like: TrainState) -> TrainState:
     return ckptr.restore(str(Path(path).resolve()), item=like)
 
 
+def _convert_param_layout(host, tmpl):
+    """Walk host/template in parallel (dicts, lists, tuples incl. optax
+    namedtuple states) and convert DiTBlock <-> PallasDiTBlock param
+    subtrees wherever the dict structures disagree — so checkpoints stay
+    portable across the `use_pallas_block` construction flag (params, EMA,
+    and Adam moments alike)."""
+    from ..nn_diffusion.dit import convert_checkpoint_blocks
+
+    def walk(h, t):
+        if isinstance(t, dict) and isinstance(h, dict):
+            return convert_checkpoint_blocks(h, t)
+        if isinstance(t, tuple) and isinstance(h, tuple) and len(t) == len(h):
+            vals = [walk(a, b) for a, b in zip(h, t)]
+            return type(h)(*vals) if hasattr(h, "_fields") else tuple(vals)
+        if isinstance(t, list) and isinstance(h, list) and len(t) == len(h):
+            return [walk(a, b) for a, b in zip(h, t)]
+        return h
+
+    return host.replace(
+        params=walk(host.params, tmpl.params),
+        ema_params=walk(host.ema_params, tmpl.ema_params),
+        opt_state=walk(host.opt_state, tmpl.opt_state),
+    )
+
+
 def load_state(path: str, like: Optional[TrainState] = None) -> TrainState:
     """Load a state saved by `save_state`. If `like` is given, restore arrays
-    with the same shardings/dtypes as the template state."""
+    with the same shardings/dtypes as the template state. A structure
+    mismatch caused only by the DiT `use_pallas_block` flag is converted
+    transparently (exact reshapes — see nn_diffusion/dit.py)."""
     with open(path, "rb") as f:
         host = pickle.load(f)
     if like is None:
         return jax.tree_util.tree_map(jnp.asarray, host)
-    return jax.tree_util.tree_map(
-        lambda tmpl, v: jax.device_put(jnp.asarray(v, dtype=tmpl.dtype))
-        if hasattr(tmpl, "dtype")
-        else v,
-        like,
-        host,
-    )
+
+    def place(tmpl, v):
+        return (jax.device_put(jnp.asarray(v, dtype=tmpl.dtype))
+                if hasattr(tmpl, "dtype") else v)
+
+    try:
+        return jax.tree_util.tree_map(place, like, host)
+    except (ValueError, KeyError):
+        host = _convert_param_layout(host, like)
+        return jax.tree_util.tree_map(place, like, host)

@@ -333,7 +333,9 @@ def run_job(job, args):
     t_train = time.time() - t0
 
     t0 = time.time()
-    infer_cmd = base + ["mode=inference", "ckpt=latest"] + job.get(
+    # '+ckpt': planner CLIs use per-model ckpt keys instead of `ckpt`
+    # (plain overrides warn on unknown keys — utils/config.py)
+    infer_cmd = base + ["mode=inference", "+ckpt=latest"] + job.get(
         "extra_infer", [])
     p = launch_with_retry(infer_cmd, infer_log, args.wedge_timeout,
                           pattern=r"episode \d+:")

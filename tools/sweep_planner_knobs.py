@@ -64,10 +64,12 @@ def main():
             print(f"[sweep] {tag}: done ({results[tag]['mean']}) — skip",
                   flush=True)
             continue
+        # '+'-prefixed: these protocol keys exist only in some CLIs' configs
+        # (plain overrides warn on unknown keys — utils/config.py)
         cmd = [sys.executable, "-u", cli, "task=halfcheetah-medium-v2",
-               "mode=inference", "ckpt=latest",
-               "diffusion_ckpt=latest", "classifier_ckpt=latest",
-               "invdyn_ckpt=latest"] + ovs
+               "mode=inference", "+ckpt=latest",
+               "+diffusion_ckpt=latest", "+classifier_ckpt=latest",
+               "+invdyn_ckpt=latest"] + ovs
         if args.quick:
             cmd.append("num_episodes=1")
         log = ROOT / f"logs/sweep_{tag}.log"
