@@ -60,6 +60,10 @@ class DiffusionModel:
     # differentiable — grads come back f32 through the cast-back), while
     # loss, optimizer state, master weights, and the EMA stay f32.
     # `bf16_training=true` config key, same chokepoint.
+    # MEASURED NEGATIVE on TPU v5e (tools/bench_bf16_analysis.py): XLA's
+    # default-precision f32 matmuls already run the MXU as bf16 passes, so
+    # casting wins no FLOPs and pays conversion traffic (DiT step 0.88x,
+    # ChiUNet 0.58x). Keep OFF for speed; use only for HBM-capacity relief.
     bf16_training = False
 
     def __init__(

@@ -13,6 +13,18 @@ Experiments (one real chip, fused in lax.scan to amortize the tunnel):
 2. ChiUNet + DiT train step: f32 vs bf16_training at the benched shapes,
    to attribute the residual delta to cast overhead.
 
+MEASURED (TPU v5e via axon, 2026-08-19 — hypothesis CONFIRMED):
+  matmul 4096^2 x32 chained:  f32-default 77.9 ms / 56.5 TFLOP/s
+                              explicit bf16 85.5 ms / 51.5 TFLOP/s
+                              f32-HIGHEST 200.1 ms / 22.0 TFLOP/s
+  DiT train step: f32 7.60 ms vs bf16_training 8.63 ms (0.88x)
+=> On TPU, default-precision f32 matmuls ALREADY run the MXU as bf16
+   multiply passes with f32 accumulation (that's why HIGHEST, which uses
+   3 passes for full f32 product precision, is ~2.6x slower). Cast-based
+   AMP has no FLOP win left to claim and pays pure conversion traffic.
+   bf16_training / bf16_sampling stay available (HBM-capacity relief)
+   but OFF by default, and the README no longer sells them as a speedup.
+
 Usage: python tools/bench_bf16_analysis.py [--repeat 50]
 """
 
