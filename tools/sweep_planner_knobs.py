@@ -47,6 +47,46 @@ SWEEPS = [
 ]
 
 
+def run_with_wedge_retry(cmd, log, attempts=3, wedge_timeout=480.0):
+    """Launch `cmd`, killing and relaunching if it wedges (no new log output
+    AND no CPU progress for `wedge_timeout` seconds — the known tunnel wedge
+    at jit-lowering freezes before the first log line; kill-and-relaunch
+    clears it). Same policy as run_score_suite.launch_with_retry."""
+    for attempt in range(1, attempts + 1):
+        log_f = open(log, "a" if attempt > 1 else "w")
+        p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT,
+                             cwd=ROOT)
+        log_f.close()
+        last_size, last_cpu, last_change = -1, -1.0, time.time()
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                if rc == 0 or attempt == attempts:
+                    return rc
+                print(f"[sweep] attempt {attempt}: rc={rc}, retrying",
+                      flush=True)
+                break
+            size = log.stat().st_size if log.exists() else 0
+            try:
+                with open(f"/proc/{p.pid}/stat") as f:
+                    parts = f.read().split()
+                cpu = int(parts[13]) + int(parts[14])
+            except (FileNotFoundError, IndexError, ValueError):
+                cpu = -1
+            if size != last_size or cpu != last_cpu:
+                last_size, last_cpu, last_change = size, cpu, time.time()
+            elif time.time() - last_change > wedge_timeout:
+                print(f"[sweep] attempt {attempt}: wedged (no output/CPU "
+                      f"{wedge_timeout:.0f}s), killing {p.pid}", flush=True)
+                p.kill()
+                p.wait()
+                if attempt == attempts:
+                    return -9
+                break
+            time.sleep(10.0)
+    return -9
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -74,9 +114,7 @@ def main():
             cmd.append("num_episodes=1")
         log = ROOT / f"logs/sweep_{tag}.log"
         t0 = time.time()
-        with open(log, "w") as f:
-            rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                                cwd=ROOT).returncode
+        rc = run_with_wedge_retry(cmd, log)
         scores = [float(m) for m in re.findall(
             r"episode \d+: ([-\d.]+)", log.read_text(errors="ignore"))]
         if rc != 0 or not scores:
