@@ -237,11 +237,41 @@ def dataset_path(task: str) -> Path:
                                ROOT / "dev/d4rl")) / f"{task}.npz"
 
 
+def _proc_cpu_ticks(pid):
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().split()
+        return int(parts[13]) + int(parts[14])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+class _Finished:
+    """Popen-compatible result for a child launch_with_retry already ran
+    to completion (callers do `p = launch_with_retry(...); rc = p.wait()`)."""
+
+    def __init__(self, rc):
+        self.returncode = rc
+
+    def wait(self):
+        return self.returncode
+
+    def poll(self):
+        return self.returncode
+
+
 def launch_with_retry(cmd, log_path: Path, wedge_timeout: float,
                       pattern=r"'gradient_steps'|'step'|episode ",
                       max_attempts: int = 5):
-    """Start cmd; if the log shows no progress line within wedge_timeout,
-    kill and relaunch (fresh client connection). Returns the Popen."""
+    """Run cmd to completion, killing + relaunching on a wedge. Two wedge
+    modes, both observed with the axon tunnel:
+    - launch wedge: no progress line within wedge_timeout of start
+      (~1-in-5 fresh client connections freeze at the first blocking op)
+    - mid-run wedge: log size AND host CPU ticks both frozen for
+      wedge_timeout (seen at td3bc step 296k, round 4) — training relaunch
+      resumes from ckpt_latest, so a kill loses at most a save interval.
+    A nonzero exit AFTER progress is a genuine failure and is returned,
+    not retried. Returns an object whose .wait() yields the returncode."""
     rx = re.compile(pattern)
     log_path.write_text("")  # fresh log per JOB, append per ATTEMPT
     for attempt in range(1, max_attempts + 1):
@@ -254,39 +284,60 @@ def launch_with_retry(cmd, log_path: Path, wedge_timeout: float,
         p = subprocess.Popen(cmd, stdout=log_f, stderr=subprocess.STDOUT,
                              cwd=ROOT)
         log_f.close()  # child holds its own fd; don't leak ours
+
         def seen():
             with open(log_path, errors="ignore") as f:
                 f.seek(attempt_rx_off)
                 return rx.search(f.read())
+
         t0 = time.time()
-        while time.time() - t0 < wedge_timeout:
+        started = False
+        last_size, last_cpu, last_move = -1, -1, time.time()
+        while True:
             time.sleep(10)
-            if seen():
+            rc = p.poll()
+            if rc is not None:
+                if rc == 0:
+                    if not seen():
+                        # clean exit without a progress line: e.g.
+                        # resume=true on a fully-trained run prints only
+                        # the resume banner — completion, not a wedge
+                        print(f"[suite] attempt {attempt}: clean no-op "
+                              "exit rc=0", flush=True)
+                    return _Finished(0)
+                if seen():
+                    return _Finished(rc)  # genuine post-progress failure
+                break  # died before first progress line -> retry
+            if not started and seen():
+                started = True
                 print(f"[suite] attempt {attempt}: running (pid {p.pid})",
                       flush=True)
-                return p
-            if p.poll() is not None:
-                break  # exited before first progress line
-        if seen():
-            return p
-        if p.poll() is not None and p.returncode == 0:
-            # clean exit without a progress line: e.g. resume=true on a
-            # fully-trained run prints only the resume banner and returns —
-            # that's completion, not a wedge
-            print(f"[suite] attempt {attempt}: clean no-op exit rc=0",
-                  flush=True)
-            return p
-        print(f"[suite] attempt {attempt}: wedged/dead, killing {p.pid}",
-              flush=True)
-        p.kill()
+            if not started and time.time() - t0 >= wedge_timeout:
+                print(f"[suite] attempt {attempt}: launch wedge, killing "
+                      f"{p.pid}", flush=True)
+                break
+            size = log_path.stat().st_size
+            cpu = _proc_cpu_ticks(p.pid)
+            if size != last_size or cpu != last_cpu:
+                last_size, last_cpu, last_move = size, cpu, time.time()
+            elif started and time.time() - last_move >= wedge_timeout:
+                print(f"[suite] attempt {attempt}: MID-RUN wedge (log+CPU "
+                      f"frozen {wedge_timeout:.0f}s), killing {p.pid}",
+                      flush=True)
+                break
+        if p.poll() is None:
+            p.kill()
         p.wait()
         time.sleep(15)
     raise RuntimeError(f"{cmd}: no progress after {max_attempts} attempts")
 
 
 def parse_scores(log_text: str):
-    """Per-episode normalized means printed by the CLIs' inference mode."""
-    return [float(m) for m in re.findall(r"episode \d+: ([-\d.]+)", log_text)]
+    """Per-episode normalized means printed by the CLIs' inference mode.
+    Only the LAST attempt's section counts — a mid-run-wedged earlier
+    attempt may have printed a partial episode list before freezing."""
+    last = log_text.split("[suite] ---- attempt")[-1]
+    return [float(m) for m in re.findall(r"episode \d+: ([-\d.]+)", last)]
 
 
 def run_job(job, args):
