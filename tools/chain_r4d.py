@@ -105,13 +105,11 @@ def dataset_missing(name):
 
 def main():
     log("start")
-    wait_for_pid_gone("/tmp/pytest.pid", "pytest tier")
-
-    # host-only work first while the chip may still be down
-    if dataset_missing("maze2d-large-v1"):
-        gen_dataset(["tools/make_maze2d_expert.py", "maze2d-large-v1"],
-                    "chain_d_maze2d_large.log", r"\[maze2d-expert\]")
-
+    # the TPU recovered while pytest was still running: chip work is the
+    # critical path, so grab it immediately (hc gen is mostly chip-bound;
+    # the 2x host contention with the pytest tail costs less than 15 min
+    # of serialization). maze2d-large host-gen moves to AFTER the family
+    # stages, overlapping the next suite stage's chip-bound training.
     wait_for_tpu()
 
     if dataset_missing("halfcheetah-medium-v2"):
@@ -122,6 +120,9 @@ def main():
     suite("adaptdiffuser_hc_medium,qgpo_hc_medium")
     commit("adaptdiffuser + qgpo hc-medium")
 
+    if dataset_missing("maze2d-large-v1"):
+        gen_dataset(["tools/make_maze2d_expert.py", "maze2d-large-v1"],
+                    "chain_d_maze2d_large.log", r"\[maze2d-expert\]")
     suite("veteran_maze2d_large,veteran_maze2d_large_gi")
     commit("veteran maze2d-large (+gi)")
 
