@@ -49,19 +49,31 @@ def build_engine():
     )
 
 
-def time_fn(fn, *args, n_warmup=N_WARMUP, n_iters=N_ITERS):
-    """Time fn with a host fetch of a scalar to force completion.
+def time_stats(fn, *args, n_warmup=N_WARMUP, n_iters=N_ITERS):
+    """(median, rel_spread) of per-call seconds over n_iters timed calls.
 
-    The TPU here is reached through a tunnel with ~30ms round-trip, so fn
-    should amortize many sampler calls internally; we subtract a measured
-    empty round-trip floor.
-    """
+    Each call fetches a scalar to force completion (block_until_ready does
+    not block through the tunnel). The TPU is reached through a tunnel with
+    ~30ms round-trip, so fn should amortize many sampler calls internally;
+    callers subtract the measured empty round-trip floor. rel_spread is
+    (max-min)/median — the honest noise bar for every reported speedup
+    (round-4 lesson: single-shot timings swung bf16 claims 0.58x<->1.26x)."""
     for _ in range(n_warmup):
         float(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
+    ts = []
+    for _ in range(max(n_iters, 3)):
+        t0 = time.perf_counter()
         float(fn(*args))
-    return (time.perf_counter() - t0) / n_iters
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    med = ts[len(ts) // 2]
+    spread = (ts[-1] - ts[0]) / max(med, 1e-12)
+    return med, spread
+
+
+def time_fn(fn, *args, n_warmup=N_WARMUP, n_iters=N_ITERS):
+    """Median per-call seconds (see time_stats)."""
+    return time_stats(fn, *args, n_warmup=n_warmup, n_iters=n_iters)[0]
 
 
 def round_trip_floor():
@@ -146,14 +158,16 @@ def bench_planner(name, nn_diffusion, x_shape, batch, steps, repeat=10,
         return acc
 
     # clamp: tiny fused programs can measure below the tunnel floor
-    t = max(time_fn(run_many, engine.state.ema_params, jax.random.PRNGKey(0),
-                    n_warmup=1, n_iters=3) - floor, 1e-7) / repeat
+    med, spread = time_stats(run_many, engine.state.ema_params,
+                             jax.random.PRNGKey(0), n_warmup=1, n_iters=5)
+    t = max(med - floor, 1e-7) / repeat
     fl, by = cost_of(
         lambda p, r: sample_fn(p, None, r, prior)[0].sum(),
         engine.state.ema_params, jax.random.PRNGKey(0),
     )
     out = {f"{name}_plans_per_sec": round(batch / t, 1),
-           f"{name}_ms_per_batch": round(t * 1e3, 3)}
+           f"{name}_ms_per_batch": round(t * 1e3, 3),
+           f"{name}_spread_pct": round(100 * spread, 1)}
     m = mfu_pct(fl, t)
     if m is not None:
         out[f"{name}_mfu_pct"] = m
@@ -189,8 +203,9 @@ def bench_sampler_family(name, engine, sample_kwargs, prior, floor,
     # clamping to a meaningless 1e-7 (BENCH_r02 reported 178413% MFU here)
     reps = repeat
     for attempt in range(4):
-        total = time_fn(build(reps), engine.state.ema_params,
-                        jax.random.PRNGKey(0), n_warmup=1, n_iters=3)
+        total, spread = time_stats(build(reps), engine.state.ema_params,
+                                   jax.random.PRNGKey(0), n_warmup=1,
+                                   n_iters=5)
         if total - floor >= max(floor, 1e-3) or attempt == 3:
             break  # keep reps == what `total` was measured at
         reps *= 10
@@ -201,7 +216,8 @@ def bench_sampler_family(name, engine, sample_kwargs, prior, floor,
     )
     batch = prior.shape[0]
     out = {f"{name}_samples_per_sec": round(batch / t, 1),
-           f"{name}_ms_per_batch": round(t * 1e3, 3)}
+           f"{name}_ms_per_batch": round(t * 1e3, 3),
+           f"{name}_spread_pct": round(100 * spread, 1)}
     m = mfu_pct(fl, t)
     if m is not None:
         out[f"{name}_mfu_pct"] = m
@@ -287,13 +303,13 @@ def extended_benches(floor):
                           sample_steps=5, gradient_steps=10_000, rng=0)
         N = 100
         train_window = pipe.make_train_scan(ds, 256, N)
-        train_window(jax.random.PRNGKey(0))  # compile
-        t0 = time.perf_counter()
-        log = train_window(jax.random.PRNGKey(1))
-        _ = float(log["loss"])
-        t = (time.perf_counter() - t0 - floor) / N
+        med, spread = time_stats(
+            lambda k: train_window(k)["loss"], jax.random.PRNGKey(1),
+            n_warmup=1, n_iters=5)
+        t = (med - floor) / N
         out["dp_chiunet_train_steps_per_sec"] = round(1.0 / t, 1)
         out["dp_chiunet_train_ms_per_step"] = round(t * 1e3, 3)
+        out["dp_chiunet_train_spread_pct"] = round(100 * spread, 1)
         raw = pipe.agent._make_update_fn(update_ema=True, has_wrt=False)
         raw = raw.__wrapped__ if hasattr(raw, "__wrapped__") else raw
         batch = ds.sample_batch(jax.random.PRNGKey(2), 256)
@@ -318,12 +334,17 @@ def extended_benches(floor):
                                 diffusion="ddpm", sample_steps=5,
                                 gradient_steps=10_000, rng=0)
             win16 = pipe16.make_train_scan(ds, 256, N)
-            win16(jax.random.PRNGKey(0))
-            t0 = time.perf_counter()
-            _ = float(win16(jax.random.PRNGKey(1))["loss"])
-            t16 = (time.perf_counter() - t0 - floor) / N
+            med16, spread16 = time_stats(
+                lambda k: win16(k)["loss"], jax.random.PRNGKey(1),
+                n_warmup=1, n_iters=5)
+            t16 = (med16 - floor) / N
             out["dp_chiunet_train_bf16_steps_per_sec"] = round(1.0 / t16, 1)
             out["dp_chiunet_train_bf16_speedup"] = round(t / t16, 3)
+            # combined noise bar on the ratio (round-4 lesson: a
+            # single-shot 0.58x and 1.26x were both reported for this
+            # entry across rounds; the spread decides which is real)
+            out["dp_chiunet_train_bf16_spread_pct"] = round(
+                100 * (spread + spread16), 1)
         except Exception as e:  # keep the eval benches below alive
             out["dp_bf16_bench_error"] = str(e)[:160]
         finally:
@@ -338,12 +359,18 @@ def extended_benches(floor):
         pipe.evaluate_on_device(env, ds.normalizer, num_envs=E,
                                 max_episode_steps=300)
         t_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        pipe.evaluate_on_device(env, ds.normalizer, num_envs=E,
-                                max_episode_steps=300)
-        t_eval = time.perf_counter() - t0 - floor
+        evals = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            pipe.evaluate_on_device(env, ds.normalizer, num_envs=E,
+                                    max_episode_steps=300)
+            evals.append(time.perf_counter() - t0 - floor)
+        evals.sort()
+        t_eval = evals[len(evals) // 2]
         out["dp_eval_env_steps_per_sec"] = round(E * T / t_eval, 1)
         out["dp_eval_s_per_50env_episode"] = round(t_eval, 3)
+        out["dp_eval_spread_pct"] = round(
+            100 * (evals[-1] - evals[0]) / t_eval, 1)
         out["dp_eval_compile_s"] = round(t_first - t_eval, 1)
     except Exception as e:
         out["dp_bench_error"] = str(e)[:160]
@@ -376,11 +403,17 @@ def extended_benches(floor):
 
         state2, l = train_many(dit.state, jax.random.PRNGKey(0))
         _ = float(l)
-        t0 = time.perf_counter()
-        state2, l = train_many(state2, jax.random.PRNGKey(1))
-        _ = float(l)
-        t = (time.perf_counter() - t0 - floor) / N
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            state2, l = train_many(state2, jax.random.PRNGKey(1 + i))
+            _ = float(l)
+            ts.append(time.perf_counter() - t0 - floor)
+        ts.sort()
+        t = ts[len(ts) // 2] / N
         out["dd_dit_train_steps_per_sec"] = round(1.0 / t, 1)
+        out["dd_dit_train_spread_pct"] = round(
+            100 * (ts[-1] - ts[0]) / ts[len(ts) // 2], 1)
         fl, by = cost_of(
             lambda s, x: raw(s, x, None, None)[1]["loss"], dit.state, x_ex)
         m = mfu_pct(fl, t)
@@ -421,12 +454,16 @@ def extended_benches(floor):
             out["pallas_dit_block_speedup"] = round(
                 times["xla"] / times["pallas"], 3)
             # XLA's cost analysis can't see inside the Pallas kernel, so
-            # its flops count underreports — the model flops are identical
-            # on both paths; rescale the XLA MFU by the time ratio
-            if "dd_dit_sample_xla_mfu_pct" in out:
-                out["dd_dit_sample_pallas_mfu_pct"] = round(
-                    out["dd_dit_sample_xla_mfu_pct"]
-                    * times["xla"] / times["pallas"], 2)
+            # its flops AND bytes counts underreport — the model flops and
+            # HBM traffic are identical on both paths; rescale both the
+            # XLA MFU and roofline by the time ratio (round-4 bug: the
+            # raw pallas roofline_pct came out BELOW its own MFU)
+            ratio = times["xla"] / times["pallas"]
+            for suffix in ("mfu_pct", "roofline_pct"):
+                xk = f"dd_dit_sample_xla_{suffix}"
+                if xk in out:
+                    out[f"dd_dit_sample_pallas_{suffix}"] = round(
+                        out[xk] * ratio, 2)
     except Exception as e:
         out["pallas_dit_bench_error"] = str(e)[:160]
 
@@ -452,9 +489,10 @@ def extended_benches(floor):
                 (_, acc), _ = jax.lax.scan(body, (r, 0.0), None, length=reps)
                 return acc
 
-            return max(time_fn(run_many, eng_p.state.ema_params,
-                               jax.random.PRNGKey(0), n_warmup=1, n_iters=3)
-                       - floor, 1e-7) / reps
+            med, spread = time_stats(run_many, eng_p.state.ema_params,
+                                     jax.random.PRNGKey(0), n_warmup=1,
+                                     n_iters=5)
+            return max(med - floor, 1e-7) / reps, spread
 
         for tag, B, depth, dm, nh in (("", 50, 2, 320, 10),
                                       ("_b1_deep", 1, 12, 384, 6),
@@ -470,9 +508,9 @@ def extended_benches(floor):
                 final_logp=False)
             par_fn = eng_p.build_parallel_sample_fn(
                 sample_steps=20, picard_iters=6)
-            t_seq = run_repeat(
+            t_seq, sp_seq = run_repeat(
                 eng_p, lambda p, k: seq_fn(p, None, k, prior_p)[0], 20)
-            t_par = run_repeat(
+            t_par, sp_par = run_repeat(
                 eng_p, lambda p, k: par_fn(p, k, prior_p)[0], 20)
             x_s = seq_fn(eng_p.state.ema_params, None,
                          jax.random.PRNGKey(1), prior_p)[0]
@@ -484,6 +522,8 @@ def extended_benches(floor):
             out[f"picard_ddim{tag}_par6_ms"] = round(t_par * 1e3, 3)
             out[f"picard_ddim{tag}_latency_speedup"] = round(
                 t_seq / t_par, 3)
+            out[f"picard_ddim{tag}_spread_pct"] = round(
+                100 * (sp_seq + sp_par), 1)
             out[f"picard_ddim{tag}_rel_deviation"] = round(dev, 4)
     except Exception as e:
         out["picard_bench_error"] = str(e)[:160]
@@ -550,7 +590,8 @@ def main():
         return acc
 
     floor = round_trip_floor()
-    t_fused = (time_fn(run_fused_many, engine.state.ema_params, rng) - floor) / REPEAT
+    med_f, spread_f = time_stats(run_fused_many, engine.state.ema_params, rng)
+    t_fused = (med_f - floor) / REPEAT
 
     # ---- reference-style per-step dispatch (baseline proxy) ----
     # one jitted program per denoise step, Python loop on host
@@ -583,7 +624,7 @@ def main():
             acc = acc + xt.sum()
         return acc
 
-    t_dispatch = (time_fn(run_dispatch_many, rng, n_warmup=1, n_iters=3) - floor) / REPEAT
+    t_dispatch = (time_fn(run_dispatch_many, rng, n_warmup=1, n_iters=5) - floor) / REPEAT
 
     actions_per_sec = BATCH / t_fused
     denoise_steps_per_sec = BATCH * SAMPLE_STEPS / t_fused
@@ -657,7 +698,7 @@ def main():
             return acc
 
         t_big = (time_fn(run_big_many, engine.state.ema_params, rng,
-                         n_warmup=1, n_iters=3) - floor) / 20
+                         n_warmup=1, n_iters=5) - floor) / 20
         planner_detail["dql_peak_actions_per_sec"] = round(BIG / t_big, 1)
         planner_detail["dql_peak_batch"] = BIG
     except Exception as e:
@@ -682,16 +723,22 @@ def main():
 
         import time as _time
 
-        t0 = _time.time()
-        for _ in range(N_STEPS):
-            log = pipe.train_step(batch)
-        _ = float(log["critic_loss"])  # force
         # per-dispatch path: dominated by tunnel latency by design (the
         # fused-window number below is the production path); subtract the
         # measured round-trip of the single final fetch, not a guess
-        t_train = max((_time.time() - t0 - floor) / N_STEPS, 1e-7)
+        blocks = []
+        for _ in range(5):
+            t0 = _time.time()
+            for _ in range(N_STEPS):
+                log = pipe.train_step(batch)
+            _ = float(log["critic_loss"])  # force
+            blocks.append(max((_time.time() - t0 - floor) / N_STEPS, 1e-7))
+        blocks.sort()
+        t_train = blocks[len(blocks) // 2]
         planner_detail["dql_train_steps_per_sec"] = round(1.0 / t_train, 1)
         planner_detail["dql_train_ms_per_step"] = round(t_train * 1e3, 3)
+        planner_detail["dql_train_spread_pct"] = round(
+            100 * (blocks[-1] - blocks[0]) / t_train, 1)
 
         # fused window: K train steps in ONE XLA program with the batch
         # gather inside the scan — the production train_loop amortization,
@@ -719,33 +766,62 @@ def main():
             return acc
 
         # clamp: tiny fused programs can measure below the tunnel floor
-        t_win = max(time_fn(run_window, pipe.actor.state, pipe.critic_state,
-                            jax.random.PRNGKey(2), n_warmup=1, n_iters=5)
-                    - floor, 1e-7) / K_WIN
+        med_w, spread_w = time_stats(
+            run_window, pipe.actor.state, pipe.critic_state,
+            jax.random.PRNGKey(2), n_warmup=1, n_iters=5)
+        t_win = max(med_w - floor, 1e-7) / K_WIN
         planner_detail["dql_train_fused_steps_per_sec"] = round(1.0 / t_win, 1)
         planner_detail["dql_train_fused_ms_per_step"] = round(t_win * 1e3, 3)
+        planner_detail["dql_train_fused_spread_pct"] = round(
+            100 * spread_w, 1)
     except Exception as e:
         planner_detail["train_bench_error"] = str(e)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "dql_sampled_actions_per_sec_per_chip",
-                "value": round(actions_per_sec, 1),
-                "unit": "actions/s",
-                "vs_baseline": round(vs_baseline, 3),
-                "detail": {
-                    "denoise_steps_per_sec": round(denoise_steps_per_sec, 1),
-                    "batch": BATCH,
-                    "sample_steps": SAMPLE_STEPS,
-                    "fused_ms": round(t_fused * 1e3, 3),
-                    "per_step_dispatch_ms": round(t_dispatch * 1e3, 3),
-                    "device": str(jax.devices()[0]),
-                    **planner_detail,
-                },
-            }
-        )
-    )
+    full = {
+        "metric": "dql_sampled_actions_per_sec_per_chip",
+        "value": round(actions_per_sec, 1),
+        "unit": "actions/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "detail": {
+            "denoise_steps_per_sec": round(denoise_steps_per_sec, 1),
+            "batch": BATCH,
+            "sample_steps": SAMPLE_STEPS,
+            "fused_ms": round(t_fused * 1e3, 3),
+            "fused_spread_pct": round(100 * spread_f, 1),
+            "per_step_dispatch_ms": round(t_dispatch * 1e3, 3),
+            "device": str(jax.devices()[0]),
+            **planner_detail,
+        },
+    }
+    # full record to a file; the driver's stdout capture is ~2000 chars and
+    # BENCH_r02-04 all came back `parsed: null` from one oversized line
+    from pathlib import Path
+
+    Path(__file__).resolve().parent.joinpath("BENCH_full.json").write_text(
+        json.dumps(full, indent=1) + "\n")
+
+    # compact headline LAST: curated keys, hard-capped under 1.5kB
+    headline_keys = [
+        "denoise_steps_per_sec", "fused_ms", "fused_spread_pct",
+        "dql_train_fused_steps_per_sec", "dql_peak_actions_per_sec",
+        "diffuser_janner_h32_plans_per_sec", "diffuser_janner_h32_mfu_pct",
+        "dd_dit_sample_xla_ms_per_batch", "dd_dit_sample_pallas_ms_per_batch",
+        "pallas_dit_block_speedup", "dd_dit_sample_pallas_mfu_pct",
+        "dd_dit_sample_pallas_roofline_pct",
+        "dp_chiunet_train_steps_per_sec", "dp_chiunet_train_bf16_speedup",
+        "dp_chiunet_train_bf16_spread_pct",
+        "picard_ddim_b1_deep_latency_speedup",
+        "dp_eval_env_steps_per_sec", "dd_dit_train_steps_per_sec",
+    ]
+    detail = full["detail"]
+    compact = {k: full[k] for k in ("metric", "value", "unit", "vs_baseline")}
+    compact["detail"] = {k: detail[k] for k in headline_keys if k in detail}
+    compact["full"] = "BENCH_full.json"
+    line = json.dumps(compact)
+    while len(line) > 1500 and compact["detail"]:
+        compact["detail"].popitem()
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -28,23 +28,27 @@ __all__ = [
 
 
 def return_reward_range(dataset, max_episode_steps):
-    """Episodic return range (reference d4rl_mujoco_dataset.py:10-23)."""
-    returns, lengths = [], []
-    ep_ret, ep_len = 0.0, 0
-    for r, d in zip(dataset["rewards"], dataset["terminals"]):
-        ep_ret += float(r)
-        ep_len += 1
-        if d or ep_len == max_episode_steps:
-            returns.append(ep_ret)
-            lengths.append(ep_len)
-            ep_ret, ep_len = 0.0, 0
-    lengths.append(ep_len)
-    assert sum(lengths) == len(dataset["rewards"])
-    return min(returns), max(returns)
+    """Range of episodic returns, with episodes cut at terminals and at the
+    max_episode_steps cap (same contract as reference
+    d4rl_mujoco_dataset.py:10-23, vectorized: episode starts from
+    flatnonzero(terminals) plus cap-sized splits of each terminal-free
+    stretch, returns via one add.reduceat instead of a transition loop)."""
+    rewards = np.asarray(dataset["rewards"], np.float64).ravel()
+    terminals = np.asarray(dataset["terminals"], bool).ravel()
+    n = rewards.shape[0]
+    seg = np.concatenate(([0], np.flatnonzero(terminals) + 1, [n]))
+    starts = np.concatenate([np.arange(lo, hi, max_episode_steps)
+                             for lo, hi in zip(seg[:-1], seg[1:]) if lo < hi])
+    returns = np.add.reduceat(rewards, starts)
+    if not terminals[-1] and n - starts[-1] < max_episode_steps:
+        returns = returns[:-1]  # unterminated trailing stub: not an episode
+    return float(returns.min()), float(returns.max())
 
 
 def modify_reward(dataset, max_episode_steps=1000):
-    """Rescale returns into [0, max_episode_steps] (reference :26-31)."""
+    """Antmaze-style IQL reward scaling: divide by the return spread so one
+    full traversal of the return range is worth max_episode_steps
+    (reference :26-31)."""
     min_ret, max_ret = return_reward_range(dataset, max_episode_steps)
     dataset["rewards"] = dataset["rewards"] / (max_ret - min_ret) * max_episode_steps
     return dataset

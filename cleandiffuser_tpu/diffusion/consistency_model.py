@@ -35,18 +35,21 @@ __all__ = ["ContinuousConsistencyModel", "CMCurriculumLogger"]
 
 
 def compare_properties(obj1, obj2, properties: List[str]):
-    differences = []
-    for prop in properties:
-        a, b = getattr(obj1, prop), getattr(obj2, prop)
+    """Names in `properties` whose values differ between the two objects
+    (arrays compared by allclose). Distillation-compat check, same contract
+    as the reference's helper (consistency_model.py:30-43)."""
+
+    def _differs(a, b):
         if isinstance(a, (jnp.ndarray, np.ndarray)) or isinstance(b, (jnp.ndarray, np.ndarray)):
-            if a is None or b is None or not np.allclose(np.asarray(a), np.asarray(b)):
-                differences.append(prop)
-        elif a != b:
-            differences.append(prop)
-    return differences
+            return a is None or b is None or not np.allclose(np.asarray(a), np.asarray(b))
+        return a != b
+
+    return [p for p in properties
+            if _differs(getattr(obj1, p), getattr(obj2, p))]
 
 
 def pseudo_huber_loss(source, target, c: float = 0.0):
+    """sqrt(err^2 + c^2) - c — the iCT loss; c=0 degenerates to |err|."""
     return jnp.sqrt((source - target) ** 2 + c**2) - c
 
 

@@ -103,20 +103,19 @@ class QGPOPipeline:
         return run
 
     def _support_store(self, dataset, sup):
-        """Host-backed device constants for the q/cep stages: transitions +
-        the (N, K, act_dim) support set (accelerator-resident closure
-        constants would wedge jit lowering through the tunnel)."""
-        from ..utils.tensors import host_constants
-
-        with host_constants():
-            return {
-                "obs": jnp.asarray(dataset.obs),
-                "next_obs": jnp.asarray(dataset.next_obs),
-                "act": jnp.asarray(dataset.act),
-                "rew": jnp.asarray(dataset.rew),
-                "tml": jnp.asarray(dataset.tml),
-                "sup": jnp.asarray(sup),
-            }
+        """Device-resident transitions + (N, K, act_dim) support set, passed
+        to the fused trainers as explicit jit ARGUMENTS. Never close the
+        fused fn over these: closure arrays are embedded by value into the
+        lowered MLIR, and a ~1M-transition constant overflows the tunnel's
+        request-body limit (HTTP 413 at remote_compile, round 4)."""
+        return jax.device_put({
+            "obs": np.asarray(dataset.obs),
+            "next_obs": np.asarray(dataset.next_obs),
+            "act": np.asarray(dataset.act),
+            "rew": np.asarray(dataset.rew),
+            "tml": np.asarray(dataset.tml),
+            "sup": np.asarray(sup),
+        })
 
     def make_q_train_scan(self, dataset, sup, batch_size: int, n_steps: int):
         """Fused support-softmax TD trainer: the CLI's per-step HOST batch
@@ -126,7 +125,7 @@ class QGPOPipeline:
         size = dataset.size
         q_raw = self._make_q_step()
 
-        def fused(qp, qt, qo, rng):
+        def fused(qp, qt, qo, store, rng):
             def body(carry, k):
                 qp, qt, qo = carry
                 idx = jax.random.randint(k, (batch_size,), 0, size)
@@ -149,7 +148,7 @@ class QGPOPipeline:
         def run(rng):
             (self.q_params, self.q_target_params, self.q_opt_state,
              log) = fused_jit(self.q_params, self.q_target_params,
-                              self.q_opt_state, rng)
+                              self.q_opt_state, store, rng)
             return log
 
         return run
@@ -169,11 +168,10 @@ class QGPOPipeline:
         self.classifier._ensure_init(xe, te, ye)
         cls_raw = self.classifier._make_update_fn(update_ema=True)
         cls_raw = getattr(cls_raw, "__wrapped__", cls_raw)
-        q_params = self.q_params
         add_noise = self.actor.add_noise
         beta = self.beta
 
-        def fused(c_st, rng):
+        def fused(c_st, q_params, store, rng):
             def body(c_st, k):
                 idx = jax.random.randint(k, (batch_size,), 0, size)
                 next_obs = store["next_obs"][idx]
@@ -195,7 +193,8 @@ class QGPOPipeline:
         fused_jit = jax.jit(fused, donate_argnums=0)
 
         def run(rng):
-            self.classifier.state, log = fused_jit(self.classifier.state, rng)
+            self.classifier.state, log = fused_jit(
+                self.classifier.state, self.q_params, store, rng)
             return log
 
         return run

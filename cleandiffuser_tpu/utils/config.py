@@ -23,6 +23,7 @@ available in this environment, so this module implements the same surface:
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -110,6 +111,14 @@ def load_config(
     config_name: str,
     overrides: Optional[Sequence[str]] = None,
 ) -> Config:
+    # jax is pre-imported at interpreter startup in this environment, so an
+    # external JAX_PLATFORMS=cpu is silently ignored by the CLIs (CLAUDE.md
+    # "Environment gotchas"). Honor it here — every CLI funnels through
+    # load_config before its first device use.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     config_path = Path(config_path)
     with open(config_path / f"{config_name}.yaml") as f:
         raw = yaml.safe_load(f) or {}

@@ -271,9 +271,14 @@ def launch_with_retry(cmd, log_path: Path, wedge_timeout: float,
       wedge_timeout (seen at td3bc step 296k, round 4) — training relaunch
       resumes from ckpt_latest, so a kill loses at most a save interval.
     A nonzero exit AFTER progress is a genuine failure and is returned,
-    not retried. Returns an object whose .wait() yields the returncode."""
+    not retried. A nonzero SELF-exit BEFORE progress that repeats with the
+    same traceback tail is a deterministic crash (e.g. the qgpo HTTP-413
+    lowering failure, round 4), not a wedge: terminal after 2 identical
+    exits instead of burning all attempts. Returns an object whose .wait()
+    yields the returncode."""
     rx = re.compile(pattern)
     log_path.write_text("")  # fresh log per JOB, append per ATTEMPT
+    prev_crash_sig = None
     for attempt in range(1, max_attempts + 1):
         # append mode: keep every wedged attempt's output (the only
         # evidence for diagnosing recurring wedges); mark the boundary
@@ -307,7 +312,20 @@ def launch_with_retry(cmd, log_path: Path, wedge_timeout: float,
                     return _Finished(0)
                 if seen():
                     return _Finished(rc)  # genuine post-progress failure
-                break  # died before first progress line -> retry
+                # pre-progress self-exit: wedge kills never reach here (the
+                # wedge branches `break` with the process still alive), so
+                # this is a real crash — fingerprint its traceback tail
+                with open(log_path, errors="ignore") as f:
+                    f.seek(attempt_rx_off)
+                    tail = [ln for ln in f.read().splitlines() if ln.strip()]
+                sig = (rc, tail[-1] if tail else "")
+                if sig == prev_crash_sig:
+                    print(f"[suite] attempt {attempt}: identical crash "
+                          f"(rc={rc}, {sig[1][:120]!r}) — terminal, not a "
+                          "wedge", flush=True)
+                    return _Finished(rc)
+                prev_crash_sig = sig
+                break  # died before first progress line -> retry once more
             if not started and seen():
                 started = True
                 print(f"[suite] attempt {attempt}: running (pid {p.pid})",
