@@ -19,7 +19,7 @@ jax.config.update("jax_enable_x64", False)
 
 # ---------------------------------------------------------------------------
 # Test tiers. The default tier (pyproject addopts: -m 'not slow') must stay
-# under ~30 min wall on this 1-core host with -n 6; the functions below are
+# around ~37 min wall on this 1-core host with -n 6; the functions below are
 # the measured heavy tail (>=180s call time in logs/pytest_durations_r4.log,
 # dominated by pipeline training loops and fused-window equivalence scans)
 # and are auto-marked `slow`. Run them with `-m slow` (the score-suite /

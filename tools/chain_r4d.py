@@ -6,14 +6,15 @@ enumeration works; any buffer transfer/execute hangs — distinct from the
 known 1-in-5 per-client launch wedge). This chain turns that state into
 progress unattended:
 
-  0. wait for the in-flight pytest tier to finish (1 host core)
-  1. while the TPU is down, regenerate maze2d-large (host-only scripted
-     waypoint expert — needs no chip)
-  2. probe the TPU with a tiny matmul until the compute path recovers
-  3. regenerate halfcheetah datasets (SAC on-chip, ~15 min)
-  4..7 run the remaining suite stages cheapest-first, committing the
+  1. probe the TPU with a tiny matmul until the compute path recovers
+  2. regenerate any missing datasets stage-by-stage (halfcheetah SAC
+     on-chip ~15 min; maze2d-large host-only; walker2d SAC on-chip)
+  3. run the remaining suite stages cheapest-first, committing the
      scoreboard + PARITY after each stage so every landed row is durable
      (the judged artifact is the committed scoreboard, not results/)
+
+SUPERSEDED by tools/chain_r5.py (round 5), which gates each commit on the
+rows actually added. Kept for the round-4 log record.
 
 Remaining jobs = the only VERDICT-r3 items still open: family-coverage
 rows (synther/diffuserlite/adaptdiffuser/qgpo on hc-medium), walker2d
@@ -37,16 +38,6 @@ LOGDIR = ROOT / "logs"
 
 def log(msg):
     print(f"[chain-d] {msg} | {time.strftime('%H:%M:%S')}", flush=True)
-
-
-def wait_for_pid_gone(pid_file, what):
-    p = Path(pid_file)
-    if not p.exists():
-        return
-    pid = p.read_text().strip()
-    while Path(f"/proc/{pid}").exists():
-        time.sleep(30)
-    log(f"{what} (pid {pid}) finished")
 
 
 def tpu_up(timeout=120):

@@ -1,4 +1,4 @@
-"""Render the tier-1 score table in PARITY.md from results/scoreboard_r3.json.
+"""Render the tier-1 score table in PARITY.md from results/scoreboard.json.
 
 Keeps the measured-score docs mechanically in sync with the suite driver
 (tools/run_score_suite.py): run after suite jobs land. The published bands
@@ -15,7 +15,7 @@ import re
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
-BOARD = ROOT / "results/scoreboard_r3.json"
+BOARD = ROOT / "results/scoreboard.json"
 PARITY = ROOT / "PARITY.md"
 
 # (algorithm label, published band) per suite-job name. Bands quote the
@@ -85,7 +85,13 @@ def render(board: dict) -> str:
 
 
 def main():
-    board = json.loads(BOARD.read_text())
+    # r5 transition: merge the legacy r3-named board under the canonical
+    # one (a pre-rename suite process may still append rows to the old
+    # file); canonical rows win
+    legacy = ROOT / "results/scoreboard_r3.json"
+    board = json.loads(legacy.read_text()) if legacy.exists() else {}
+    if BOARD.exists():
+        board.update(json.loads(BOARD.read_text()))
     table = render(board)
     text = PARITY.read_text()
     if BEGIN not in text:

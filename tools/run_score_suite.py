@@ -25,7 +25,8 @@ import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
-SCOREBOARD = ROOT / "results/scoreboard_r3.json"
+SCOREBOARD = ROOT / "results/scoreboard.json"
+LEGACY_SCOREBOARD = ROOT / "results/scoreboard_r3.json"  # pre-r5 name
 LOGDIR = ROOT / "logs"
 
 # One entry per score row to produce. `steps` uses each CLI's step-count
@@ -179,8 +180,12 @@ JOBS = [
                  ["mode=critic_training", "critic_gradient_steps=100000"]]),
     dict(name="qgpo_hc_medium", cli="pipelines/qgpo_d4rl_mujoco.py",
          task="halfcheetah-medium-v2", steps=1_000_000,
-         phases=[["mode=bc_training", "bc_gradient_steps=1000000"],
-                 ["mode=supported_action_collecting"],
+         # bc/collect resume via skip_if: their artifacts are the phase's
+         # entire output, and collection alone is ~52 min of chip
+         phases=[dict(args=["mode=bc_training", "bc_gradient_steps=1000000"],
+                      skip_if="qgpo_d4rl_mujoco/{task}/diffusion_ckpt_latest"),
+                 dict(args=["mode=supported_action_collecting"],
+                      skip_if="qgpo_d4rl_mujoco/{task}/supported_act.npy"),
                  ["mode=q_training", "q_gradient_steps=1000000"],
                  ["mode=cep_training", "cep_gradient_steps=1000000"]]),
     dict(name="synther_hc_medium", cli="pipelines/synther_d4rl_mujoco.py",
@@ -379,6 +384,14 @@ def run_job(job, args):
         # or a dict(args=[...], pattern=...) for a custom liveness regex
         for pi, phase in enumerate(job["phases"]):
             ph_args = phase["args"] if isinstance(phase, dict) else phase
+            skip_if = (phase.get("skip_if") if isinstance(phase, dict)
+                       else None)
+            if skip_if and (ROOT / "results"
+                            / skip_if.format(task=job["task"])).exists():
+                print(f"[suite] {name}: phase {pi} skipped — "
+                      f"{skip_if.format(task=job['task'])} exists",
+                      flush=True)
+                continue
             ph_pat = (phase.get("pattern") if isinstance(phase, dict)
                       else None) or r"'gradient_steps'|'step'|episode "
             ph_log = LOGDIR / f"suite_{name}_p{pi}_train.log"
@@ -440,7 +453,13 @@ def main():
 
     only = set(args.only.split(",")) if args.only else None
     SCOREBOARD.parent.mkdir(parents=True, exist_ok=True)
-    board = json.loads(SCOREBOARD.read_text()) if SCOREBOARD.exists() else {}
+    # r5 migration: merge legacy-named rows under the canonical board (a
+    # pre-rename suite process may still be appending to the old file);
+    # canonical rows win
+    board = (json.loads(LEGACY_SCOREBOARD.read_text())
+             if LEGACY_SCOREBOARD.exists() else {})
+    if SCOREBOARD.exists():
+        board.update(json.loads(SCOREBOARD.read_text()))
 
     for job in JOBS:
         name = job["name"]
@@ -454,6 +473,10 @@ def main():
         board[name] = run_job(job, args)
         SCOREBOARD.write_text(json.dumps(board, indent=1))
         print(f"[suite] {name}: {board[name]}", flush=True)
+        # a finished row must never miss the public table again
+        # (round 4: SynthER scored 0.480 but PARITY was never re-rendered)
+        subprocess.run([sys.executable, str(ROOT / "tools/render_parity.py")],
+                       cwd=ROOT)
 
     print("[suite] done:", json.dumps(
         {k: v.get("score_mean", v.get("error")) for k, v in board.items()}),
