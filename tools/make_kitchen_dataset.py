@@ -85,6 +85,19 @@ class KitchenScripter:
             self.jadr[jn] = int(self.m.jnt_qposadr[j])
             self.anchor[jn] = self.d.xanchor[j][:2].copy()
         self.R0 = self.d.site_xmat[self.sid].reshape(3, 3).copy()
+        # fingertip-pad midpoint: the outermost capsule pair on the two
+        # finger bodies. The GRASP POINT is ~4.2cm from the end_effector
+        # site along the hand axis — servoing the site to a 1.4cm target
+        # (the burner-knob paddle) puts the pads 4-6cm off it.
+        self._ftips = []
+        for bn in ("panda0_leftfinger", "panda0_rightfinger"):
+            b = mujoco.mj_name2id(self.m, mujoco.mjtObj.mjOBJ_BODY, bn)
+            caps = [g for g in range(self.m.ngeom)
+                    if self.m.geom_bodyid[g] == b and self.m.geom_type[g]
+                    == mujoco.mjtGeom.mjGEOM_CAPSULE]
+            self._ftips.append(max(caps, key=lambda g: np.linalg.norm(
+                self.d.geom_xpos[g] - self.d.site_xpos[self.sid])))
+        self.grip_off = np.zeros(3)
         self.I = np.zeros(3)
         self.steps = 0
         self.task_reward = 0.0
@@ -116,6 +129,9 @@ class KitchenScripter:
         # construction time a shared env still holds the previous
         # episode's final pose, and every script's Rdes derives from R0
         self.R0 = self.d.site_xmat[self.sid].reshape(3, 3).copy()
+        gm = 0.5 * (self.d.geom_xpos[self._ftips[0]]
+                    + self.d.geom_xpos[self._ftips[1]])
+        self.grip_off = self.R0.T @ (gm - self.d.site_xpos[self.sid])
         return obs
 
     # -- IK --------------------------------------------------------------
@@ -140,11 +156,16 @@ class KitchenScripter:
         return self.d.site_xpos[self.sid]
 
     def servo(self, tfun, Rfun, grip, steps, tol=0.015, ki=0.1,
-              stop=None):
+              stop=None, at_grip=False):
+        """`at_grip=True` drives the FINGERTIP-PAD midpoint to the target
+        (site target shifted back by the hand-frame grip offset) — needed
+        for small grasp targets like the burner-knob paddle."""
         for _ in range(steps):
             if self.done or (stop is not None and stop()):
                 return
             tgt = np.asarray(tfun(), np.float64)
+            if at_grip:
+                tgt = tgt - Rfun() @ self.grip_off
             err = tgt - self.eef()
             if tol is not None and np.linalg.norm(err) < tol:
                 return
@@ -263,22 +284,53 @@ class KitchenScripter:
         return self._task_done(r0)
 
     def bottom_burner(self, budget=150):
-        """Grasp the knob paddle, roll the wrist about +y to twist it."""
+        """Grasp the knob paddle, roll the wrist about +y to twist it.
+
+        The twist monitors knob-angle progress: a grasp that closed on air
+        or slipped mid-twist stalls the angle while the wrist keeps
+        rolling — detected every 12 steps, triggering a reopen + regrasp
+        (the round-4 script twisted blind and lost ~60% of attempts)."""
         self.begin_task()
         t0, r0 = self.steps, self.task_reward
-        knob = np.array([-0.256, 0.64, 2.226])
+        knob = self.d.site_xpos[self.site["knob2_site"]].copy()
+        qa = self.jadr["knob_Joint_2"]
         jit = self.jit()
-        self.servo(lambda: knob + np.array([0.0, -0.08, 0.0]) + jit,
-                   lambda: self.R0, 1.0, 60, tol=0.02)
-        self.servo(lambda: knob + np.array([0.0, 0.005, 0.0]),
-                   lambda: self.R0, 1.0, 50, tol=0.013)
-        self.hold_close(lambda: self.R0, 8)
-        k = 0
         while (not self._task_done(r0) and not self.done
                and self.steps - t0 < budget):
-            k += 1
-            th = min(1.15, 0.015 * k)
-            self.step(self.ik6(knob + self.I, roty(th) @ self.R0, -1.0))
+            # (re)grasp with the wrist pre-rolled to the CURRENT blade
+            # angle — after a partial twist the blade is no longer
+            # vertical, and a home-angle approach closes across it
+            q0 = -float(self.d.qpos[qa])
+            Rg = roty(q0) @ self.R0
+            self.servo(lambda: knob + np.array([0.0, -0.08, 0.0]) + jit,
+                       lambda: Rg, 1.0, 40, tol=0.02, at_grip=True)
+            self.servo(lambda: knob, lambda: Rg, 1.0, 35, tol=0.013,
+                       at_grip=True)
+            self.hold_close(lambda: Rg, 8)
+            # the wrist roll pivots about the EEF SITE, but the fingers
+            # grip offset from it — rolling with the site pinned at the
+            # knob center translates the fingertips and drags the paddle
+            # off. Command the site along the compensating arc so the
+            # GRIP POINT stays on the knob axis while the hand rolls.
+            u = self.R0.T @ (knob - self.eef())  # hand-frame grip lever
+            k, last_ang, stall = 0, float(self.d.qpos[qa]), 0
+            while (not self._task_done(r0) and not self.done
+                   and self.steps - t0 < budget):
+                k += 1
+                th = min(1.15, q0 + 0.02 * k)
+                R = roty(th)
+                self.step(self.ik6(knob - R @ roty(-q0) @ self.R0
+                                   @ u + self.I, R @ self.R0, -1.0))
+                if k % 12 == 0:
+                    ang = float(self.d.qpos[qa])
+                    stall = stall + 1 if ang > last_ang - 0.02 else 0
+                    last_ang = ang
+                    if stall >= 2 or th >= 1.15:
+                        break  # angle not advancing: regrasp
+            if not self._task_done(r0):
+                self.I[:] = 0.0
+                self.servo(lambda: knob + np.array([0.0, -0.08, 0.02]),
+                           lambda: self.R0, 1.0, 10, tol=0.03)
         return self._task_done(r0)
 
     TASKS = {"microwave": microwave, "light switch": light_switch,
@@ -297,10 +349,21 @@ def rollout_episodes(n_episodes, seed=0, tasks=EVAL_TASKS, noise=0.05,
                             "terminals", "timeouts")}
     completions = []
     t0 = time.time()
+    # measured per-task success by chain position (tools/probe_kitchen_demo):
+    # microwave is ~100% first and ~0% third (door-arc clutter + budget),
+    # kettle is robust anywhere but the most expensive. Sample orders from
+    # a position-biased Gumbel race — diverse (mixed regime) but reliable-
+    # early / expensive-late. COST gates tasks that can't fit the
+    # remaining budget (a certain failure also burns the tail steps).
+    PRIO = {"microwave": 2.2, "light switch": 1.2, "bottom burner": 1.0,
+            "kettle": 0.3}
+    COST = {"microwave": 70, "light switch": 90, "bottom burner": 105,
+            "kettle": 140}
     for ep in range(n_episodes):
         sc = KitchenScripter(env, rng, noise=noise)
         sc.reset(seed=seed * 100_003 + ep)
-        order = list(rng.permutation(tasks))
+        order = sorted(tasks, key=lambda t: -(PRIO.get(t, 1.0)
+                                              + rng.gumbel(0.0, 1.0)))
         # mixed regime: sometimes drop the tail of the sequence
         if rng.uniform() < 0.25:
             order = order[: rng.integers(2, len(order) + 1)]
@@ -308,6 +371,8 @@ def rollout_episodes(n_episodes, seed=0, tasks=EVAL_TASKS, noise=0.05,
         for task in order:
             if sc.done:
                 break
+            if MAX_PATH - 1 - sc.steps < 0.7 * COST.get(task, 100):
+                continue  # cannot plausibly fit — try a cheaper one
             got += bool(KitchenScripter.TASKS[task](sc))
         # pad a few settle steps so short episodes keep context
         for _ in range(min(5, MAX_PATH - 1 - sc.steps)):
