@@ -349,29 +349,36 @@ def rollout_episodes(n_episodes, seed=0, tasks=EVAL_TASKS, noise=0.05,
                             "terminals", "timeouts")}
     completions = []
     t0 = time.time()
-    # measured per-task success by chain position (tools/probe_kitchen_demo):
-    # microwave is ~100% first and ~0% third (door-arc clutter + budget),
-    # kettle is robust anywhere but the most expensive. Sample orders from
-    # a position-biased Gumbel race — diverse (mixed regime) but reliable-
-    # early / expensive-late. COST gates tasks that can't fit the
-    # remaining budget (a certain failure also burns the tail steps).
-    PRIO = {"microwave": 2.2, "light switch": 1.2, "bottom burner": 1.0,
-            "kettle": 0.3}
+    # order families measured at 10-ep resolution (logs/probe_kitchen_*):
+    # microwave must go FIRST (90-100% at pos0, ~0% at pos2+ — the open
+    # door walls off later approaches), the burner knob is unreachable
+    # after the kettle lands beside it, and kettle-first wastes ~180
+    # steps. A/B measure 2.2 completions/ep; C (light-first) 1.7 adds
+    # start diversity; 10% stays fully random for mixed-regime coverage.
+    FAMILIES = [
+        (0.40, ["microwave", "bottom burner", "kettle"]),
+        (0.35, ["microwave", "kettle", "light switch"]),
+        (0.15, ["light switch", "kettle", "bottom burner"]),
+    ]
     COST = {"microwave": 70, "light switch": 90, "bottom burner": 105,
             "kettle": 140}
+    fam_p = np.array([p for p, _ in FAMILIES] + [0.10])
     for ep in range(n_episodes):
         sc = KitchenScripter(env, rng, noise=noise)
         sc.reset(seed=seed * 100_003 + ep)
-        order = sorted(tasks, key=lambda t: -(PRIO.get(t, 1.0)
-                                              + rng.gumbel(0.0, 1.0)))
+        pick = rng.choice(len(fam_p), p=fam_p)
+        order = (list(rng.permutation(tasks)) if pick == len(FAMILIES)
+                 else [t for t in FAMILIES[pick][1] if t in tasks])
         # mixed regime: sometimes drop the tail of the sequence
-        if rng.uniform() < 0.25:
+        if rng.uniform() < 0.15:
             order = order[: rng.integers(2, len(order) + 1)]
         got = 0
         for task in order:
             if sc.done:
                 break
-            if MAX_PATH - 1 - sc.steps < 0.7 * COST.get(task, 100):
+            # only skip hopeless attempts: kettle at pos2 still wins 62%
+            # of tight-budget tries (probe), so the gate stays loose
+            if MAX_PATH - 1 - sc.steps < 0.35 * COST.get(task, 100):
                 continue  # cannot plausibly fit — try a cheaper one
             got += bool(KitchenScripter.TASKS[task](sc))
         # pad a few settle steps so short episodes keep context
