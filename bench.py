@@ -434,22 +434,25 @@ def extended_benches(floor):
         prior_dd = jnp.zeros((B_dd, H_dd, 17))
         times = {}
         for flag in (False, True):
-            eng = DDS(
-                DiT1d(in_dim=17, emb_dim=128, d_model=320, n_heads=10,
-                      depth=2, timestep_emb_type="fourier",
-                      use_pallas_block=flag),
-                diffusion_steps=20, rng=0)
-            eng.init(prior_dd)
-            key = "pallas" if flag else "xla"
-            res = bench_sampler_family(
-                f"dd_dit_sample_{key}", eng,
-                dict(solver="ddpm", sample_steps=20, cfg_mode="uncond",
-                     final_logp=False),
-                prior_dd, floor, repeat=3)
-            out.update(res)
-            tkey = f"dd_dit_sample_{key}_ms_per_batch"
-            if tkey in res:
-                times[key] = res[tkey]
+            for bf16 in (False, True):
+                eng = DDS(
+                    DiT1d(in_dim=17, emb_dim=128, d_model=320, n_heads=10,
+                          depth=2, timestep_emb_type="fourier",
+                          use_pallas_block=flag),
+                    diffusion_steps=20, rng=0)
+                eng.bf16_sampling = bf16
+                eng.init(prior_dd)
+                key = ("pallas" if flag else "xla") + ("_bf16" if bf16
+                                                       else "")
+                res = bench_sampler_family(
+                    f"dd_dit_sample_{key}", eng,
+                    dict(solver="ddpm", sample_steps=20, cfg_mode="uncond",
+                         final_logp=False),
+                    prior_dd, floor, repeat=3)
+                out.update(res)
+                tkey = f"dd_dit_sample_{key}_ms_per_batch"
+                if tkey in res:
+                    times[key] = res[tkey]
         if "xla" in times and "pallas" in times and times["pallas"] > 0:
             out["pallas_dit_block_speedup"] = round(
                 times["xla"] / times["pallas"], 3)
@@ -464,6 +467,11 @@ def extended_benches(floor):
                 if xk in out:
                     out[f"dd_dit_sample_pallas_{suffix}"] = round(
                         out[xk] * ratio, 2)
+        if "xla" in times and times.get("pallas_bf16"):
+            # the production lever: best precision+kernel combo vs the
+            # r04 default (f32 XLA) on the identical sampling program
+            out["dd_dit_sample_best_speedup_vs_f32xla"] = round(
+                times["xla"] / min(v for v in times.values() if v > 0), 3)
     except Exception as e:
         out["pallas_dit_bench_error"] = str(e)[:160]
 
