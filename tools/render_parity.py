@@ -61,6 +61,20 @@ ROWS = {
     # only the human-demo bands quoted here
     "dd_kitchen_mixed": ("Decision Diffuser", "~0.50-0.65 (human demos)"),
     "dql_kitchen_mixed": ("DQL", "~0.55-0.65 (human demos)"),
+    "dd_kitchen_mixed_tr068": ("Decision Diffuser (target 0.68)",
+                               "~0.50-0.65 (human demos)"),
+    "dd_kitchen_mixed_wcfg2": ("Decision Diffuser (w_cfg 2.0)",
+                               "~0.50-0.65 (human demos)"),
+    "veteran_maze2d_umaze_gi_pin5": ("Veteran + goal inpaint (pin 5)",
+                                     "Diffuser ~1.14"),
+    "veteran_maze2d_umaze_gi_pin9": ("Veteran + goal inpaint (pin 9)",
+                                     "Diffuser ~1.14"),
+    "veteran_maze2d_medium_gi_pin9": ("Veteran + goal inpaint (pin 9)",
+                                      "Diffuser ~1.22"),
+    "veteran_maze2d_medium_gi_pin15": ("Veteran + goal inpaint (pin 15)",
+                                       "Diffuser ~1.22"),
+    "veteran_maze2d_large_gi_pin15": ("Veteran + goal inpaint (pin 15)",
+                                      "Diffuser ~1.23"),
 }
 
 BEGIN, END = "<!-- tier1:begin -->", "<!-- tier1:end -->"
