@@ -435,24 +435,28 @@ def extended_benches(floor):
         times = {}
         for flag in (False, True):
             for bf16 in (False, True):
-                eng = DDS(
-                    DiT1d(in_dim=17, emb_dim=128, d_model=320, n_heads=10,
-                          depth=2, timestep_emb_type="fourier",
-                          use_pallas_block=flag),
-                    diffusion_steps=20, rng=0)
-                eng.bf16_sampling = bf16
-                eng.init(prior_dd)
                 key = ("pallas" if flag else "xla") + ("_bf16" if bf16
                                                        else "")
-                res = bench_sampler_family(
-                    f"dd_dit_sample_{key}", eng,
-                    dict(solver="ddpm", sample_steps=20, cfg_mode="uncond",
-                         final_logp=False),
-                    prior_dd, floor, repeat=3)
-                out.update(res)
-                tkey = f"dd_dit_sample_{key}_ms_per_batch"
-                if tkey in res:
-                    times[key] = res[tkey]
+                try:  # one combo failing must not wipe the others' entries
+                    eng = DDS(
+                        DiT1d(in_dim=17, emb_dim=128, d_model=320,
+                              n_heads=10, depth=2,
+                              timestep_emb_type="fourier",
+                              use_pallas_block=flag),
+                        diffusion_steps=20, rng=0)
+                    eng.bf16_sampling = bf16
+                    eng.init(prior_dd)
+                    res = bench_sampler_family(
+                        f"dd_dit_sample_{key}", eng,
+                        dict(solver="ddpm", sample_steps=20,
+                             cfg_mode="uncond", final_logp=False),
+                        prior_dd, floor, repeat=3)
+                    out.update(res)
+                    tkey = f"dd_dit_sample_{key}_ms_per_batch"
+                    if tkey in res:
+                        times[key] = res[tkey]
+                except Exception as e:
+                    out[f"dd_dit_sample_{key}_error"] = str(e)[:160]
         if "xla" in times and "pallas" in times and times["pallas"] > 0:
             out["pallas_dit_block_speedup"] = round(
                 times["xla"] / times["pallas"], 3)

@@ -115,7 +115,10 @@ def _kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     h2 = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
     h2 = jax.nn.gelu(h2, approximate=True)
     h2 = jnp.dot(h2, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
-    out_ref[:] = (x + gate2 * h2).reshape(E, H, D)
+    # accumulators are f32 (preferred_element_type above); the store casts
+    # back to the input dtype so bf16 sampling keeps inter-block activations
+    # bf16 (half the HBM traffic on the bandwidth-bound sampler path)
+    out_ref[:] = (x + gate2 * h2).reshape(E, H, D).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("n_heads", "envs_per_tile", "interpret"))
@@ -154,7 +157,7 @@ def fused_dit_block(x, mod, wqkv, bqkv, wo, bo, w1, b1, w2, b2,
         ],
         out_specs=pl.BlockSpec((envs_per_tile, H, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), x.dtype),
         interpret=interpret,
     )(x, mod.reshape(B, 1, 6 * D), wqkv, bqkv.reshape(1, -1), wo,
       bo.reshape(1, -1), w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))

@@ -118,6 +118,25 @@ def test_dit_block_kernel_matches_reference_interpret():
                                atol=5e-3, rtol=5e-3)
 
 
+def test_dit_block_kernel_preserves_bf16_dtype_interpret():
+    """bf16 in -> bf16 out (inter-block activations stay half-width on the
+    bf16 sampling path); values still track the f32 reference."""
+    from cleandiffuser_tpu.ops.dit_block import (
+        dit_block_reference,
+        fused_dit_block,
+    )
+
+    x, mod, ws = _dit_inputs()
+    ref = dit_block_reference(x, mod, *ws, n_heads=4)
+    out = fused_dit_block(
+        x.astype(jnp.bfloat16), mod.astype(jnp.bfloat16),
+        *[w.astype(jnp.bfloat16) for w in ws],
+        n_heads=4, envs_per_tile=2, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+
 def test_dit_block_reference_matches_flax_block():
     """dit_block_reference == the flax DiTBlock used by the models."""
     from cleandiffuser_tpu.nn_diffusion.dit import DiTBlock
