@@ -341,13 +341,26 @@ def launch_with_retry(cmd, log_path: Path, wedge_timeout: float,
                 break
             size = log_path.stat().st_size
             cpu = _proc_cpu_ticks(p.pid)
-            if size != last_size or cpu != last_cpu:
+            if size != last_size:
                 last_size, last_cpu, last_move = size, cpu, time.time()
             elif started and time.time() - last_move >= wedge_timeout:
-                print(f"[suite] attempt {attempt}: MID-RUN wedge (log+CPU "
-                      f"frozen {wedge_timeout:.0f}s), killing {p.pid}",
-                      flush=True)
-                break
+                # log frozen past the timeout. A third wedge mode (round 5,
+                # dd_kitchen @432k): the client spins on the dead tunnel
+                # socket in KERNEL time, so cpu ticks creep (~0.6/s) and a
+                # strict log+CPU freeze check never fires. Declare a wedge
+                # whenever the tick RATE over the frozen window is below a
+                # busy-host threshold (5 ticks/s = 5% core); a genuinely
+                # working host (mujoco eval, compile) burns far more.
+                secs = max(time.time() - last_move, 1.0)
+                rate = ((cpu - last_cpu) / secs
+                        if None not in (cpu, last_cpu) else 0.0)
+                if rate < 5.0:
+                    print(f"[suite] attempt {attempt}: MID-RUN wedge (log "
+                          f"frozen {wedge_timeout:.0f}s, cpu {rate:.1f} "
+                          f"ticks/s), killing {p.pid}", flush=True)
+                    break
+                last_move = time.time()  # host busy: not a wedge, rearm
+                last_cpu = cpu
         if p.poll() is None:
             p.kill()
         p.wait()
