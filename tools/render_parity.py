@@ -57,7 +57,7 @@ ROWS = {
     "diffuserlite_hc_medium": ("DiffuserLite (R2 reflow)", "~0.44-0.48"),
     "adaptdiffuser_hc_medium": ("AdaptDiffuser", "~0.42-0.47"),
     # kitchen rows: read against the scripted-demonstrator ceiling
-    # (PARITY.md caveats — behavior data means 1.45/4 per episode), not
+    # (PARITY.md caveats — behavior data means 1.89/4 per episode), not
     # only the human-demo bands quoted here
     "dd_kitchen_mixed": ("Decision Diffuser", "~0.50-0.65 (human demos)"),
     "dql_kitchen_mixed": ("DQL", "~0.55-0.65 (human demos)"),
