@@ -6,9 +6,11 @@ kernel time (~0.6 ticks/s), so the driver's strict log+CPU freeze check
 never fired (tunnel probe from a fresh client succeeded — per-client
 stall, not an outage). run_score_suite.launch_with_retry now uses a
 tick-RATE threshold for the mid-run check; this chain restarts the
-remaining work WITHOUT clearing the kitchen checkpoints (dd resumes from
-ckpt_400000; dql's dir was already cleared at the original stage-1 entry,
-so it trains fresh as intended). Stage 0 (adaptdiffuser commit) is done.
+remaining work WITHOUT clearing the kitchen checkpoints. (Post-hoc note:
+dd_d4rl_kitchen.py has no resume support — the retrain and both
+"inference-only" variants each retrained the full 1M steps from scratch,
+~20 min apiece; scores were unaffected, only wall-clock.) Stage 0
+(adaptdiffuser commit) was already done by chain_r5b.
 
 Usage: nohup python -u tools/chain_r5c.py > logs/chain_r5c.log 2>&1 &
 """
