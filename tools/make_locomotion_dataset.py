@@ -313,6 +313,11 @@ def main():
                     help="stop after writing <env>-medium-replay-v2 (a "
                          "fresh SAC run to the medium gate is ~2 min on "
                          "chip; use --max-steps to bound it)")
+    ap.add_argument("--medium-only", action="store_true",
+                    help="write medium-replay AND the medium rollout, then "
+                         "skip the expert/medium-expert stages (SAC stops "
+                         "at the calibrated medium pick — minutes, not the "
+                         "3M-step expert chase)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -342,7 +347,7 @@ def main():
             env_prefix, seed=args.seed, n_envs=args.n_envs,
             max_steps=args.max_steps, out_dir=out_dir,
             eval_every=args.eval_every,
-            stop_at_medium=args.replay_only)
+            stop_at_medium=args.replay_only or args.medium_only)
         # replay first — it already lives on the host, and writing it lets
         # a consumer start before the (minutes-long) rollouts finish
         write(f"{env_prefix}-medium-replay-v2", med_replay,
@@ -360,6 +365,8 @@ def main():
             med_data = rollout(env_prefix, medium, args.rollout_steps,
                                seed=args.seed)
             write(f"{env_prefix}-medium-v2", med_data)
+        if args.medium_only:
+            continue
         print(f"[data:{env_prefix}] rolling out expert x{args.rollout_steps}",
               flush=True)
         exp_data = rollout(env_prefix, expert, args.rollout_steps,
