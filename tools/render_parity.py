@@ -83,18 +83,27 @@ BEGIN, END = "<!-- tier1:begin -->", "<!-- tier1:end -->"
 def render(board: dict) -> str:
     lines = ["| Algorithm | Dataset | Steps | Score (this repo) | Published band |",
              "|---|---|---|---|---|"]
+
+    def fmt_std(s):
+        # sub-0.0005 stds are REAL on low-variance tasks (halfcheetah) —
+        # "±0.000" reads as the pre-fix identical-seed bug, so show one
+        # significant digit instead (±0.0002)
+        return f"{s:.3f}" if s >= 0.0005 else f"{s:.1g}"
+
     for name, (algo, band) in ROWS.items():
         row = board.get(name)
         if not row or "error" in row:
             continue
         lines.append(
             f"| {algo} | {row['task']} | {row['steps']:,} | "
-            f"**{row['score_mean']:.3f} ± {row['score_std']:.3f}** | {band} |")
+            f"**{row['score_mean']:.3f} ± {fmt_std(row['score_std'])}** | "
+            f"{band} |")
     for name, row in board.items():
         if name not in ROWS and "error" not in row:
             lines.append(
                 f"| {name} | {row['task']} | {row['steps']:,} | "
-                f"**{row['score_mean']:.3f} ± {row['score_std']:.3f}** | — |")
+                f"**{row['score_mean']:.3f} ± {fmt_std(row['score_std'])}** "
+                f"| — |")
     return "\n".join(lines)
 
 

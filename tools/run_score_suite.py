@@ -371,9 +371,21 @@ def launch_with_retry(cmd, log_path: Path, wedge_timeout: float,
 def parse_scores(log_text: str):
     """Per-episode normalized means printed by the CLIs' inference mode.
     Only the LAST attempt's section counts — a mid-run-wedged earlier
-    attempt may have printed a partial episode list before freezing."""
+    attempt may have printed a partial episode list before freezing.
+
+    Prefer the CLIs' final full-precision "[means] [stds]" array line over
+    the 3-decimal "episode N:" prints: low-variance tasks (halfcheetah)
+    can collide at 3 decimals into an apparent identical-seed triplet
+    (idql hc-medium, round 5: 0.45805/0.45797/0.45799 all print 0.458)."""
     last = log_text.split("[suite] ---- attempt")[-1]
-    return [float(m) for m in re.findall(r"episode \d+: ([-\d.]+)", last)]
+    eps = [float(m) for m in re.findall(r"episode \d+: ([-\d.]+)", last)]
+    full = re.findall(r"(?m)^\[([-\d.eE+\s]+)\]\s+\[([-\d.eE+\s]+)\]\s*$",
+                      last)
+    if full:
+        vals = [float(v) for v in full[-1][0].split()]
+        if vals and (not eps or len(vals) == len(eps)):
+            return vals
+    return eps
 
 
 def run_job(job, args):
